@@ -1,0 +1,57 @@
+"""Gaussian likelihood family.
+
+Counterpart of `stgp/likelihood/gaussian.py:35-299`. `Gaussian` is the scalar
+iid-noise data likelihood; `BlockDiagonalGaussian` is the CVI pseudo-likelihood
+holding per-time-block covariances (the surrogate sites), stored here as plain
+batched tensors rather than Cholesky-packed objax TrainVars.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.params import Param, positive_param
+from ..utils.struct import field, module, static
+
+__all__ = ["Gaussian", "BlockDiagonalGaussian", "Likelihood"]
+
+
+class Likelihood:
+    """Marker base class."""
+
+
+@module
+class Gaussian(Likelihood):
+    """y = f + eps, eps ~ N(0, variance) iid."""
+
+    variance: Param = field(default_factory=lambda: positive_param(1.0))
+
+    def R(self, T: int, p: int = 1) -> jnp.ndarray:
+        """Per-step observation covariance blocks [T, p, p]."""
+        eye = jnp.eye(p, dtype=self.variance.raw.dtype)
+        return jnp.broadcast_to(self.variance.value * eye, (T, p, p))
+
+    # --- moment interface (used by ELLs / predictions) ---
+    def log_prob(self, y, f):
+        v = self.variance.value
+        return -0.5 * (jnp.log(2 * jnp.pi * v) + (y - f) ** 2 / v)
+
+    def conditional_mean(self, f):
+        return f
+
+    def conditional_variance(self, f):
+        return jnp.broadcast_to(self.variance.value, jnp.shape(f))
+
+
+@module
+class BlockDiagonalGaussian(Likelihood):
+    """N(Y_t | f_t, V_t) with V_t a full [p, p] block per time step.
+
+    CVI pseudo-likelihood (ref: `likelihood/gaussian.py:139`). V is stored as
+    raw symmetric blocks (the natural-gradient update writes PSD blocks
+    directly, no Cholesky re-parameterisation needed inside the jitted step).
+    """
+
+    V: jnp.ndarray  # [T, p, p]
+
+    def R(self, T: int, p: int = 1) -> jnp.ndarray:
+        return self.V

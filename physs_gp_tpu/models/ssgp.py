@@ -1,0 +1,140 @@
+"""State-space (Markov) GP regression model.
+
+TPU-native counterpart of the reference's `models/sde_gp.py` temporal path
+(`BASE_SDE_GP`/`T_SDE_GP`, ref lines 53-489): log marginal likelihood is one
+Kalman-filter pass, the posterior is filter + RTS smoothing, and prediction
+augments the time grid with NaN observations and re-runs the smoother
+(`T_SDE_GP.predict_f`, ref `models/sde_gp.py:392`).
+
+Everything is a pure function of the model pytree — `jax.grad(lambda m:
+-m.log_marginal_likelihood())` differentiates through the scan, and the
+`parallel=True` path swaps in the associative-scan filter/smoother.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..likelihoods.gaussian import Gaussian
+from ..ops import kalman, parallel_kalman
+from ..ops.lgssm import build_lgssm
+from ..ops.matrix import diag_from_XDXT
+from ..utils.struct import module, static
+
+__all__ = ["StateSpaceGP", "GaussianMoments"]
+
+
+class GaussianMoments(NamedTuple):
+    mean: jnp.ndarray
+    var: jnp.ndarray
+
+
+@module
+class StateSpaceGP:
+    t: jnp.ndarray  # [T] sorted time points
+    Y: jnp.ndarray  # [T, p] observations, NaN = missing
+    kernel: object
+    likelihood: object
+    parallel: bool = static(default=False)
+    chunk_size: object = static(default=None)
+
+    # ---- internals ----
+    def _filter_inputs(self):
+        ssm = build_lgssm(self.kernel, self.t)
+        T = self.Y.shape[0]
+        p = ssm.H.shape[0]
+        R = self.likelihood.R(T, p)
+        return ssm, R
+
+    def _run_filter(self, ssm, R, Y):
+        if self.parallel:
+            return parallel_kalman.parallel_kalman_filter(
+                ssm.A, ssm.Q, ssm.H, R, Y, ssm.m0, ssm.P0,
+                chunk_size=self.chunk_size,
+            )
+        return kalman.kalman_filter(ssm.A, ssm.Q, ssm.H, R, Y, ssm.m0, ssm.P0)
+
+    def _run_smoother(self, ssm, filtered):
+        if self.parallel:
+            return parallel_kalman.parallel_rts_smoother(ssm.A, ssm.Q, filtered)
+        return kalman.rts_smoother(ssm.A, ssm.Q, filtered)
+
+    # ---- public API (mirrors ref `core/models.py:108-118` surface) ----
+    def log_marginal_likelihood(self) -> jnp.ndarray:
+        ssm, R = self._filter_inputs()
+        return self._run_filter(ssm, R, self.Y).lml
+
+    def get_objective(self) -> jnp.ndarray:
+        return -self.log_marginal_likelihood()
+
+    def filter_smooth(self, Y=None):
+        ssm, R = self._filter_inputs()
+        f = self._run_filter(ssm, R, self.Y if Y is None else Y)
+        s = self._run_smoother(ssm, f)
+        return ssm, f, s
+
+    def posterior(self) -> GaussianMoments:
+        """Smoothed q(f) marginals at the training times: [T, p] mean/var."""
+        ssm, _, s = self.filter_smooth()
+        mean = s.ms @ ssm.H.T
+        var = jax.vmap(lambda P: diag_from_XDXT(ssm.H, P))(s.Ps)
+        return GaussianMoments(mean=mean, var=var)
+
+    def posterior_blocks(self):
+        """Full smoothed state posterior (m [T,d], P [T,d,d]) + lml."""
+        ssm, f, s = self.filter_smooth()
+        return s.ms, s.Ps, f.lml
+
+    def predict_f(self, t_new: jnp.ndarray) -> GaussianMoments:
+        """Posterior at new time points: augment grid with NaN observations,
+        re-sort, filter+smooth, unsort (ref `models/sde_gp.py:392`)."""
+        t_new = jnp.ravel(t_new)
+        n_new = t_new.shape[0]
+        p = self.Y.shape[1]
+        t_all = jnp.concatenate([self.t, t_new])
+        Y_all = jnp.concatenate(
+            [self.Y, jnp.full((n_new, p), jnp.nan, self.Y.dtype)]
+        )
+        order = jnp.argsort(t_all, stable=True)
+        inv = jnp.argsort(order)
+        m_aug = StateSpaceGPView(
+            t=t_all[order], Y=Y_all[order], base=self
+        )
+        ssm, _, s = m_aug.filter_smooth()
+        mean = (s.ms @ ssm.H.T)[inv][self.t.shape[0]:]
+        var = jax.vmap(lambda P: diag_from_XDXT(ssm.H, P))(s.Ps)[inv][
+            self.t.shape[0]:
+        ]
+        return GaussianMoments(mean=mean, var=var)
+
+    def predict_y(self, t_new: jnp.ndarray) -> GaussianMoments:
+        f = self.predict_f(t_new)
+        if isinstance(self.likelihood, Gaussian):
+            return GaussianMoments(f.mean, f.var + self.likelihood.variance.value)
+        return f
+
+
+@module
+class StateSpaceGPView:
+    """Internal: the base model re-pointed at an augmented (t, Y) grid."""
+
+    t: jnp.ndarray
+    Y: jnp.ndarray
+    base: StateSpaceGP
+
+    def filter_smooth(self):
+        ssm = build_lgssm(self.base.kernel, self.t)
+        T, p = self.Y.shape
+        R = self.base.likelihood.R(T, p)
+        if self.base.parallel:
+            f = parallel_kalman.parallel_kalman_filter(
+                ssm.A, ssm.Q, ssm.H, R, self.Y, ssm.m0, ssm.P0,
+                chunk_size=self.base.chunk_size,
+            )
+            s = parallel_kalman.parallel_rts_smoother(ssm.A, ssm.Q, f)
+        else:
+            f = kalman.kalman_filter(ssm.A, ssm.Q, ssm.H, R, self.Y, ssm.m0, ssm.P0)
+            s = kalman.rts_smoother(ssm.A, ssm.Q, f)
+        return ssm, f, s

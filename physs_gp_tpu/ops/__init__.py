@@ -1,0 +1,1 @@
+from . import gaussian, kalman, lgssm, matrix, parallel_kalman

@@ -1,0 +1,42 @@
+"""Linear-Gaussian state-space model assembly from Markov kernels.
+
+Bridges the kernel layer (closed-form `transition`/`StateSpace`) and the
+filter layer (batched [T, d, d] tensors). Counterpart of the per-step
+`A = prior.expm(dt); Q = Pinf - A Pinf A^T` computed *inside* the scan body in
+the reference (`kalman_filter.py:215`, `kernels/kernel.py:207`) — here all T
+transitions are materialised in one fused batched pass before the scan, which
+is the TPU-friendly schedule for both the sequential and parallel filters.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+__all__ = ["LGSSM", "build_lgssm"]
+
+
+class LGSSM(NamedTuple):
+    A: jnp.ndarray  # [T, d, d]
+    Q: jnp.ndarray  # [T, d, d]
+    H: jnp.ndarray  # [p, d]
+    m0: jnp.ndarray  # [d]
+    P0: jnp.ndarray  # [d, d]
+
+
+def build_lgssm(kernel, t: jnp.ndarray) -> LGSSM:
+    """Discretise a Markov kernel over time points t [T] (sorted).
+
+    dt_0 = 0, so A[0] = I, Q[0] = 0 and the filter's first prediction is the
+    stationary prior — matching the reference's steady-state init
+    (`kalman_filter.py:440`).
+    """
+    # local import: kernels depends on ops.matrix, avoid a package cycle
+    from ..kernels.markov import noise_matrix, to_ss, transition_matrix
+
+    t = jnp.ravel(t)
+    ss = to_ss(kernel)
+    dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t)])
+    A = transition_matrix(kernel, dt)  # [T, d, d]
+    Q = noise_matrix(kernel, dt)
+    return LGSSM(A=A, Q=Q, H=ss.H, m0=ss.minf, P0=ss.Pinf)

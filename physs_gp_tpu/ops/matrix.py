@@ -1,0 +1,168 @@
+"""Dense matrix primitives for the state-space GP stack.
+
+TPU-native counterpart of the reference's `stgp/computation/matrix_ops.py:40-419`
+and `computation/linalg.py:13-90`. All functions are batched (leading dims
+broadcast / vmap cleanly), use no Python control flow on traced values, and
+keep everything in the caller's dtype so the same code path runs fp32-on-MXU
+or fp64-on-CPU (tests).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+__all__ = [
+    "add_jitter",
+    "symmetrize",
+    "safe_cholesky",
+    "cholesky_solve",
+    "solve_lower",
+    "solve_upper",
+    "mat_inv",
+    "block_diag",
+    "get_block_diagonal",
+    "to_block_diag_batched",
+    "diag_from_XDXT",
+    "kron",
+    "kron_mv",
+    "lyapunov_solve",
+    "project_psd",
+    "log_det_from_chol",
+]
+
+DEFAULT_JITTER = None  # sentinel: pick per dtype
+
+
+def default_jitter(dtype) -> float:
+    """Per-dtype stabilising jitter: fp32 on the MXU needs a much larger
+    floor than fp64 CPU test runs (ref: `settings.py:63-64` jitter globals)."""
+    return 1e-12 if jnp.dtype(dtype).itemsize >= 8 else 1e-6
+
+
+def add_jitter(A: jnp.ndarray, jitter: float | None = DEFAULT_JITTER) -> jnp.ndarray:
+    if jitter is None:
+        jitter = default_jitter(A.dtype)
+    n = A.shape[-1]
+    return A + jitter * jnp.eye(n, dtype=A.dtype)
+
+
+def symmetrize(A: jnp.ndarray) -> jnp.ndarray:
+    """Force symmetry (ref: `matrix_ops.py` force_symmetric)."""
+    return 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+
+def safe_cholesky(A: jnp.ndarray, jitter: float | None = DEFAULT_JITTER) -> jnp.ndarray:
+    """Cholesky of A + jitter*I, symmetrized first."""
+    return jnp.linalg.cholesky(add_jitter(symmetrize(A), jitter))
+
+
+def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    return solve_triangular(L, B, lower=True)
+
+
+def solve_upper(U: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    return solve_triangular(U, B, lower=False)
+
+
+def cholesky_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve A X = B given L = chol(A) (lower)."""
+    return solve_triangular(
+        jnp.swapaxes(L, -1, -2), solve_triangular(L, B, lower=True), lower=False
+    )
+
+
+def mat_inv(A: jnp.ndarray, jitter: float = DEFAULT_JITTER) -> jnp.ndarray:
+    L = safe_cholesky(A, jitter)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    return cholesky_solve(L, eye)
+
+
+def block_diag(*blocks: jnp.ndarray) -> jnp.ndarray:
+    """Dense block-diagonal assembly of differently-sized (possibly
+    rectangular) blocks."""
+    blocks = [jnp.atleast_2d(b) for b in blocks]
+    m = sum(b.shape[-2] for b in blocks)
+    n = sum(b.shape[-1] for b in blocks)
+    dtype = jnp.result_type(*blocks)
+    out = jnp.zeros(blocks[0].shape[:-2] + (m, n), dtype)
+    i = j = 0
+    for b in blocks:
+        r, c = b.shape[-2:]
+        out = out.at[..., i : i + r, j : j + c].set(b)
+        i += r
+        j += c
+    return out
+
+
+def to_block_diag_batched(blocks: jnp.ndarray) -> jnp.ndarray:
+    """[B, k, k] stacked blocks -> [B*k, B*k] block-diagonal (ref: to_block_diag)."""
+    B, k, _ = blocks.shape
+    out = jnp.zeros((B, k, B, k), blocks.dtype)
+    idx = jnp.arange(B)
+    out = out.at[idx, :, idx, :].set(blocks)
+    return out.reshape(B * k, B * k)
+
+
+def get_block_diagonal(A: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """[..., B*k, B*k] -> [..., B, k, k] diagonal blocks (ref: get_block_diagonal)."""
+    n = A.shape[-1]
+    B = n // block_size
+    A4 = A.reshape(A.shape[:-2] + (B, block_size, B, block_size))
+    return jnp.einsum("...ikil->...ikl", A4)
+
+
+def diag_from_XDXT(X: jnp.ndarray, D: jnp.ndarray) -> jnp.ndarray:
+    """diag(X D X^T) without materializing the full product
+    (ref: `matrix_ops.py` diagonal_from_XDXT)."""
+    return jnp.einsum("...ij,...jk,...ik->...i", X, D, X)
+
+
+def kron(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched Kronecker product: [..., m, n] x [..., p, q] -> [..., mp, nq]."""
+    m, n = A.shape[-2:]
+    p, q = B.shape[-2:]
+    out = A[..., :, None, :, None] * B[..., None, :, None, :]
+    return out.reshape(out.shape[:-4] + (m * p, n * q))
+
+
+def kron_mv(A: jnp.ndarray, B: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(A ⊗ B) x computed as B X A^T without forming the Kronecker product.
+
+    A: [m, m], B: [p, p], x: [..., m*p]. The reshape maps index i*p+j so the
+    Kronecker convention matches `kron(A, B)`.
+    """
+    m = A.shape[-1]
+    p = B.shape[-1]
+    X = x.reshape(x.shape[:-1] + (m, p))
+    Y = jnp.einsum("ab,...bc,dc->...ad", A, X, B)
+    return Y.reshape(x.shape)
+
+
+def lyapunov_solve(F: jnp.ndarray, Qc_full: jnp.ndarray) -> jnp.ndarray:
+    """Solve F P + P F^T + Qc_full = 0 for the stationary covariance P.
+
+    Used to derive P_inf of Markov kernels generically (the reference hardcodes
+    per-kernel closed forms in `kernels/ss_utils.py:13`). State dims here are
+    tiny (d <= ~8), so the d^2 x d^2 vec-trick solve is negligible and done
+    once per trace.
+    """
+    d = F.shape[-1]
+    eye = jnp.eye(d, dtype=F.dtype)
+    M = kron(eye, F) + kron(F, eye)
+    vecP = jnp.linalg.solve(M, -Qc_full.reshape(F.shape[:-2] + (d * d, 1)))
+    return symmetrize(vecP.reshape(F.shape[:-2] + (d, d)))
+
+
+def project_psd(A: jnp.ndarray, min_eig: float = 0.0) -> jnp.ndarray:
+    """Eigenvalue-clipped PSD projection (ref: parameter_transforms retraction)."""
+    A = symmetrize(A)
+    w, V = jnp.linalg.eigh(A)
+    w = jnp.clip(w, min_eig, None)
+    return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
+
+
+def log_det_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), -1)
