@@ -1,0 +1,1 @@
+from .grids import merge_time_grids, sort_time_series

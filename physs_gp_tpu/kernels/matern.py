@@ -13,6 +13,18 @@ order p (nu = p + 1/2):
   over all T timesteps at once, ideal for the MXU (vs. a vmapped Pade expm).
 - Qc = sigma^2 * 2*sqrt(pi) * Gamma(d) / Gamma(d - 1/2) * lam^(2d-1)
   (spectral-density matching), and P_inf solves the d x d Lyapunov equation.
+
+**Balanced state (fp32-critical TPU design choice).** The canonical state
+(f, f', ..., f^(p)) spans scales 1 : lam : ... : lam^p, so P_inf's condition
+number is lam^(2p) — at short lengthscales fp32 Cholesky of filter
+covariances fails (observed: NaN smoothers under tight collocation noise).
+We therefore use the similarity-transformed state x̃_k = f^(k) / lam^k:
+    F̃ = lam * (unit superdiagonal - binomial last row),   H = e_0,
+    P̃inf = D⁻¹ P_inf D⁻¹ = O(sigma²) in every entry,     Q̃c = Qc / lam^(2p),
+which keeps every filter matrix O(1)-conditioned for ALL lengthscales. The
+k-th derivative is recovered as f^(k) = lam^k x̃_k (`transforms.operators.
+derivative_row` applies the scale). The reference uses the raw basis and
+needs fp64 + forced solves instead (`settings.py:41-49`).
 """
 from __future__ import annotations
 
@@ -73,23 +85,23 @@ class Matern(StationaryKernel, MarkovKernel):
         return math.sqrt(2 * self.p + 1) / ls
 
     def to_ss(self) -> StateSpace:
+        """State space in the BALANCED basis x̃_k = f^(k)/lam^k (see module
+        docstring): F̃ = lam (S - B), every matrix O(1)-conditioned."""
         d = self.p + 1
         lam = self._lam
         var = self.variance.value
         dtype = jnp.result_type(lam, var)
-        F = jnp.diag(jnp.ones(d - 1, dtype), 1) if d > 1 else jnp.zeros((1, 1), dtype)
-        coeffs = jnp.array(
-            [math.comb(d, k) for k in range(d)], dtype
-        )  # (s+lam)^d coefficients
-        last_row = -coeffs * lam ** jnp.arange(d, 0, -1, dtype=dtype)
-        F = F.at[-1, :].set(last_row)
+        S = jnp.diag(jnp.ones(d - 1, dtype), 1) if d > 1 else jnp.zeros((1, 1), dtype)
+        coeffs = jnp.array([math.comb(d, k) for k in range(d)], dtype)
+        F = lam * S.at[-1, :].set(-coeffs)
         L = jnp.zeros((d, 1), dtype).at[-1, 0].set(1.0)
+        # Qc in the balanced basis: Qc_raw / lam^(2(d-1))
         qc = (
             var
             * 2.0
             * math.sqrt(math.pi)
             * (math.gamma(d) / math.gamma(d - 0.5))
-            * lam ** (2 * d - 1)
+            * lam
         )
         Qc = jnp.asarray(qc, dtype).reshape(1, 1)
         H = jnp.zeros((1, d), dtype).at[0, 0].set(1.0)

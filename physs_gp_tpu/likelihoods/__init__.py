@@ -1,1 +1,3 @@
-from .gaussian import BlockDiagonalGaussian, Gaussian, Likelihood
+from .gaussian import BlockDiagonalGaussian, Gaussian, IndependentGaussian, Likelihood
+from .nongaussian import Bernoulli, Poisson, Probit, expected_log_lik
+from .composite import CompositeLikelihood, NonlinearResidual

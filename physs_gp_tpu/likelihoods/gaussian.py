@@ -43,6 +43,37 @@ class Gaussian(Likelihood):
 
 
 @module
+class IndependentGaussian(Likelihood):
+    """Independent Gaussian noise with a separate variance per output head.
+
+    Used by physics-informed models: head 0 = data noise, further heads =
+    collocation noise on derivative/operator pseudo-observations (usually a
+    small fixed variance; ref `zoo/sde_diff.py` lik_arr + fixed collocation
+    Gaussian). Heads may be fixed (`Param.fix()`) independently.
+    """
+
+    variances: list  # per-head scalar Params (independently fixable)
+
+    @property
+    def _v(self) -> jnp.ndarray:
+        return jnp.stack([p.value for p in self.variances])
+
+    def R(self, T: int, p: int = 1) -> jnp.ndarray:
+        v = self._v
+        return jnp.broadcast_to(jnp.diag(v), (T, v.shape[0], v.shape[0]))
+
+    def log_prob(self, y, f):
+        v = self._v
+        return -0.5 * (jnp.log(2 * jnp.pi * v) + (y - f) ** 2 / v)
+
+    def conditional_mean(self, f):
+        return f
+
+    def conditional_variance(self, f):
+        return jnp.broadcast_to(self._v, jnp.shape(f))
+
+
+@module
 class BlockDiagonalGaussian(Likelihood):
     """N(Y_t | f_t, V_t) with V_t a full [p, p] block per time step.
 

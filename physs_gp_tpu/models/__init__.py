@@ -1,1 +1,2 @@
 from .ssgp import GaussianMoments, StateSpaceGP
+from .cvi_gp import CVIGP

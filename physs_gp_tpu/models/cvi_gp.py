@@ -1,0 +1,176 @@
+"""CVI state-space GP: variational inference with a conjugate surrogate model.
+
+Counterpart of the reference's `VGP` + `FullConjugateGaussian` route
+(`models/vgp.py:27`, `approximate_posteriors/conjugate_gaussian_approximate_posterior.py:174`,
+ELBO at `computation/elbos/elbos.py:163-194`): the approximate posterior is a
+*surrogate* state-space GP whose pseudo-likelihood sites (Ỹ, Ṽ) are updated
+by natural gradients, and the ELBO is
+
+    ELBO = ELL_data(q) - ELL_sites(q) + lml_surrogate,
+
+computed from ONE Kalman filter+smoother pass over the surrogate. The whole
+step (filter, smooth, ELL, natural-gradient site update) is a single jitted
+graph; `parallel=True` swaps in the associative-scan filters.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..approx.cvi import Sites, init_sites, natgrad_update
+from ..likelihoods.gaussian import BlockDiagonalGaussian
+from ..likelihoods.nongaussian import expected_log_lik
+from ..ops import kalman, parallel_kalman
+from ..ops.lgssm import build_lgssm
+from ..ops.matrix import diag_from_XDXT, log_det_from_chol, safe_cholesky, solve_lower
+from ..utils.struct import module, replace, static
+from .ssgp import GaussianMoments
+
+__all__ = ["CVIGP"]
+
+_LOG2PI = jnp.log(2.0 * jnp.pi)
+
+
+@module
+class CVIGP:
+    t: jnp.ndarray  # [T] sorted time points
+    Y: jnp.ndarray  # [T, p] data (NaN = missing)
+    kernel: object
+    likelihood: object  # non-conjugate data likelihood (elementwise)
+    sites: Sites
+    observation: object = None  # optional StateObservation (physics heads)
+    parallel: bool = static(default=False)
+    chunk_size: object = static(default=None)
+
+    # ---- construction ----
+    @classmethod
+    def init(cls, t, Y, kernel, likelihood, observation=None, parallel=False,
+             chunk_size=None, site_var: float = 1.0):
+        return cls(
+            t=jnp.ravel(t),
+            Y=Y,
+            kernel=kernel,
+            likelihood=likelihood,
+            sites=init_sites(Y, site_var),
+            observation=observation,
+            parallel=parallel,
+            chunk_size=chunk_size,
+        )
+
+    # ---- surrogate filtering ----
+    def _surrogate_pass(self):
+        """Filter+smooth the surrogate model; return (lml, m, S) with the
+        q(f) block moments [T, p], [T, p, p] (H-projected)."""
+        ssm = build_lgssm(self.kernel, self.t)
+        if self.observation is not None:
+            ssm = ssm._replace(H=self.observation.H(self.kernel))
+        T, p = self.sites.Y.shape
+        R = self.sites.V
+        if self.parallel:
+            f = parallel_kalman.parallel_kalman_filter(
+                ssm.A, ssm.Q, ssm.H, R, self.sites.Y, ssm.m0, ssm.P0,
+                chunk_size=self.chunk_size,
+            )
+            s = parallel_kalman.parallel_rts_smoother(
+                ssm.A, ssm.Q, f, chunk_size=self.chunk_size
+            )
+        else:
+            f = kalman.kalman_filter(
+                ssm.A, ssm.Q, ssm.H, R, self.sites.Y, ssm.m0, ssm.P0
+            )
+            s = kalman.rts_smoother(ssm.A, ssm.Q, f)
+        m = s.ms @ ssm.H.T  # [T, p]
+        S = jnp.einsum("pi,tij,qj->tpq", ssm.H, s.Ps, ssm.H)  # [T, p, p]
+        return f.lml, m, S
+
+    # ---- ELL terms ----
+    def _ell_data(self, m, S):
+        from ..likelihoods.composite import CompositeLikelihood
+
+        if isinstance(self.likelihood, CompositeLikelihood):
+            return self.likelihood.expected_log_lik_blocks(self.Y, m, S)
+        v = jnp.diagonal(S, axis1=-2, axis2=-1)
+        return jnp.sum(expected_log_lik(self.likelihood, self.Y, m, v))
+
+    def _ell_sites(self, m, S):
+        """sum_t E_q[log N(Ỹ_t | f_t, Ṽ_t)] over observed site rows."""
+        ok = jnp.isfinite(self.sites.Y)
+        obs = jnp.all(ok, axis=-1)  # [T]; sites are blockwise observed/missing
+        Y0 = jnp.nan_to_num(self.sites.Y)
+        L = safe_cholesky(self.sites.V)
+        diff = (Y0 - m)[..., None]
+        alpha = solve_lower(L, diff)[..., 0]
+        maha = jnp.sum(alpha * alpha, -1)
+        # tr(V^-1 S) = || L^-1 chol-ish ||; use solve against S
+        VinvS = jax.scipy.linalg.cho_solve((L, True), S)
+        tr = jnp.trace(VinvS, axis1=-2, axis2=-1)
+        p = self.sites.Y.shape[1]
+        val = -0.5 * (p * _LOG2PI + log_det_from_chol(L) + maha + tr)
+        return jnp.sum(jnp.where(obs, val, 0.0))
+
+    # ---- public API ----
+    def elbo(self) -> jnp.ndarray:
+        lml_sur, m, S = self._surrogate_pass()
+        return self._ell_data(m, S) - self._ell_sites(m, S) + lml_sur
+
+    def get_objective(self) -> jnp.ndarray:
+        return -self.elbo()
+
+    def natural_gradient_update(self, lr: float) -> "CVIGP":
+        """One CVI step on all sites (ref `cvi_nat_grad.py:346-410`)."""
+        _, m, S = self._surrogate_pass()
+        new_sites = natgrad_update(
+            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr
+        )
+        return replace(self, sites=new_sites)
+
+    def posterior(self) -> GaussianMoments:
+        _, m, S = self._surrogate_pass()
+        return GaussianMoments(mean=m, var=jnp.diagonal(S, axis1=-2, axis2=-1))
+
+    def predict_f(self, t_new) -> GaussianMoments:
+        """q(f) at new inputs via the surrogate's NaN-augmentation path."""
+        from .ssgp import StateSpaceGP
+
+        surrogate = StateSpaceGP(
+            t=self.t,
+            Y=self.sites.Y,
+            kernel=self.kernel,
+            likelihood=BlockDiagonalGaussian(V=self.sites.V),
+            observation=self.observation,
+            parallel=self.parallel,
+            chunk_size=self.chunk_size,
+        )
+        return surrogate.predict_f(t_new)
+
+    def predict_y(self, t_new, gh_points: int = 20) -> GaussianMoments:
+        """Moment-matched predictive p(y*) (ref `y_predictors.py`)."""
+        from ..ops.quadrature import expect_gh
+
+        f = self.predict_f(t_new)
+        lik = self.likelihood
+        ey = expect_gh(lik.conditional_mean, f.mean, f.var, gh_points)
+        ey2 = expect_gh(
+            lambda ff: lik.conditional_variance(ff) + lik.conditional_mean(ff) ** 2,
+            f.mean,
+            f.var,
+            gh_points,
+        )
+        return GaussianMoments(mean=ey, var=ey2 - ey**2)
+
+    def nlpd(self, t_new, y_new, gh_points: int = 20) -> jnp.ndarray:
+        """Negative log predictive density via quadrature + logsumexp-free
+        Gauss-Hermite (ref `metrics/nlpd.py:44`)."""
+        from ..ops.quadrature import expect_gh
+
+        f = self.predict_f(t_new)
+        y_new = jnp.reshape(y_new, f.mean.shape)  # [T, p], strict
+        pd = expect_gh(
+            lambda ff: jnp.exp(self.likelihood.log_prob(y_new[..., None], ff)),
+            f.mean,
+            f.var,
+            gh_points,
+        )
+        val = -jnp.log(jnp.maximum(pd, 1e-300))
+        ok = jnp.isfinite(y_new)
+        return jnp.sum(jnp.where(ok, val, 0.0)) / jnp.sum(ok)

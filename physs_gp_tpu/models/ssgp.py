@@ -37,12 +37,15 @@ class StateSpaceGP:
     Y: jnp.ndarray  # [T, p] observations, NaN = missing
     kernel: object
     likelihood: object
+    observation: object = None  # optional StateObservation (physics heads)
     parallel: bool = static(default=False)
     chunk_size: object = static(default=None)
 
     # ---- internals ----
     def _filter_inputs(self):
         ssm = build_lgssm(self.kernel, self.t)
+        if self.observation is not None:
+            ssm = ssm._replace(H=self.observation.H(self.kernel))
         T = self.Y.shape[0]
         p = ssm.H.shape[0]
         R = self.likelihood.R(T, p)
@@ -58,7 +61,9 @@ class StateSpaceGP:
 
     def _run_smoother(self, ssm, filtered):
         if self.parallel:
-            return parallel_kalman.parallel_rts_smoother(ssm.A, ssm.Q, filtered)
+            return parallel_kalman.parallel_rts_smoother(
+                ssm.A, ssm.Q, filtered, chunk_size=self.chunk_size
+            )
         return kalman.rts_smoother(ssm.A, ssm.Q, filtered)
 
     # ---- public API (mirrors ref `core/models.py:108-118` surface) ----
@@ -92,15 +97,22 @@ class StateSpaceGP:
         re-sort, filter+smooth, unsort (ref `models/sde_gp.py:392`)."""
         t_new = jnp.ravel(t_new)
         n_new = t_new.shape[0]
-        p = self.Y.shape[1]
+        T, p = self.Y.shape
         t_all = jnp.concatenate([self.t, t_new])
         Y_all = jnp.concatenate(
             [self.Y, jnp.full((n_new, p), jnp.nan, self.Y.dtype)]
         )
+        # pad the observation covariance with identity blocks at test points
+        # (masked anyway; ref `models/sde_gp.py:493` get_likelihood_for_prediction)
+        R_train = self.likelihood.R(T, p)
+        R_all = jnp.concatenate(
+            [R_train, jnp.broadcast_to(jnp.eye(p, dtype=R_train.dtype),
+                                       (n_new, p, p))]
+        )
         order = jnp.argsort(t_all, stable=True)
         inv = jnp.argsort(order)
         m_aug = StateSpaceGPView(
-            t=t_all[order], Y=Y_all[order], base=self
+            t=t_all[order], Y=Y_all[order], R=R_all[order], base=self
         )
         ssm, _, s = m_aug.filter_smooth()
         mean = (s.ms @ ssm.H.T)[inv][self.t.shape[0]:]
@@ -118,22 +130,26 @@ class StateSpaceGP:
 
 @module
 class StateSpaceGPView:
-    """Internal: the base model re-pointed at an augmented (t, Y) grid."""
+    """Internal: the base model re-pointed at an augmented (t, Y, R) grid."""
 
     t: jnp.ndarray
     Y: jnp.ndarray
+    R: jnp.ndarray
     base: StateSpaceGP
 
     def filter_smooth(self):
         ssm = build_lgssm(self.base.kernel, self.t)
-        T, p = self.Y.shape
-        R = self.base.likelihood.R(T, p)
+        if self.base.observation is not None:
+            ssm = ssm._replace(H=self.base.observation.H(self.base.kernel))
+        R = self.R
         if self.base.parallel:
             f = parallel_kalman.parallel_kalman_filter(
                 ssm.A, ssm.Q, ssm.H, R, self.Y, ssm.m0, ssm.P0,
                 chunk_size=self.base.chunk_size,
             )
-            s = parallel_kalman.parallel_rts_smoother(ssm.A, ssm.Q, f)
+            s = parallel_kalman.parallel_rts_smoother(
+                ssm.A, ssm.Q, f, chunk_size=self.base.chunk_size
+            )
         else:
             f = kalman.kalman_filter(ssm.A, ssm.Q, ssm.H, R, self.Y, ssm.m0, ssm.P0)
             s = kalman.rts_smoother(ssm.A, ssm.Q, f)

@@ -1,1 +1,1 @@
-from . import gaussian, kalman, lgssm, matrix, parallel_kalman
+from . import gaussian, kalman, lgssm, matrix, parallel_kalman, quadrature

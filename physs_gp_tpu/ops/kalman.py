@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from .gaussian import mask_covariance
 from .matrix import (
     cholesky_solve,
+    highest_precision,
     log_det_from_chol,
     safe_cholesky,
     symmetrize,
@@ -81,6 +82,7 @@ def masked_update(m_pred, P_pred, H, R, y, mask):
     return m, P, lml
 
 
+@highest_precision
 def kalman_filter(A, Q, H, R, y, m0, P0, mask=None) -> FilterResult:
     """Sequential Kalman filter.
 
@@ -106,6 +108,7 @@ def kalman_filter(A, Q, H, R, y, m0, P0, mask=None) -> FilterResult:
     return FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls)
 
 
+@highest_precision
 def rts_smoother(A, Q, filtered: FilterResult) -> SmootherResult:
     """Sequential RTS smoother (reverse `lax.scan`).
 

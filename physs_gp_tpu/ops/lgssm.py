@@ -29,11 +29,19 @@ def build_lgssm(kernel, t: jnp.ndarray) -> LGSSM:
 
     dt_0 = 0, so A[0] = I, Q[0] = 0 and the filter's first prediction is the
     stationary prior — matching the reference's steady-state init
-    (`kalman_filter.py:440`).
+    (`kalman_filter.py:440`). Runs under full fp32 matmul precision (see
+    `ops.matrix.highest_precision`).
     """
-    # local import: kernels depends on ops.matrix, avoid a package cycle
+    # local imports: kernels depends on ops.matrix, avoid a package cycle
     from ..kernels.markov import noise_matrix, to_ss, transition_matrix
+    from .matrix import highest_precision
 
+    return highest_precision(_build_lgssm_impl)(
+        kernel, t, noise_matrix, to_ss, transition_matrix
+    )
+
+
+def _build_lgssm_impl(kernel, t, noise_matrix, to_ss, transition_matrix):
     t = jnp.ravel(t)
     ss = to_ss(kernel)
     dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t)])

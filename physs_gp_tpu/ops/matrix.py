@@ -8,13 +8,14 @@ or fp64-on-CPU (tests).
 """
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 __all__ = [
+    "highest_precision",
     "add_jitter",
     "symmetrize",
     "safe_cholesky",
@@ -32,6 +33,25 @@ __all__ = [
     "project_psd",
     "log_det_from_chol",
 ]
+
+def highest_precision(fn):
+    """Trace `fn` under full fp32 matmul precision.
+
+    XLA:TPU's DEFAULT dot precision feeds the MXU bfloat16 inputs — fine for
+    neural nets, catastrophic for Kalman recursions (observed: NaN smoothers,
+    garbage posteriors). Every filter/smoother/discretisation entry point is
+    wrapped so library users get correct results without knowing the knob;
+    large non-recursive Gram matmuls can still opt down locally if profiling
+    ever warrants it.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
 
 DEFAULT_JITTER = None  # sentinel: pick per dtype
 

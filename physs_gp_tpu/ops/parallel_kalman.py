@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .gaussian import mask_covariance, masked_mvn_logpdf
 from .kalman import FilterResult, SmootherResult, observation_mask
-from .matrix import cholesky_solve, safe_cholesky, symmetrize
+from .matrix import cholesky_solve, highest_precision, safe_cholesky, symmetrize
 
 __all__ = ["parallel_kalman_filter", "parallel_rts_smoother"]
 
@@ -125,6 +125,7 @@ def _per_step_lml(A, Q, H, R, y, mask, ms, m0, P0, Ps):
     return masked_mvn_logpdf(y, mu, S, mask)
 
 
+@highest_precision
 def parallel_kalman_filter(
     A, Q, H, R, y, m0, P0, mask=None, chunk_size: int | None = None
 ) -> FilterResult:
@@ -189,8 +190,18 @@ def _smoothing_operator(ej: _SmootherElems, ei: _SmootherElems) -> _SmootherElem
     return _SmootherElems(E=E, g=g, L=L)
 
 
-def parallel_rts_smoother(A, Q, filtered: FilterResult) -> SmootherResult:
-    """Parallel-scan RTS smoother (ref: `parallel_rts_smoother.py:26-103`)."""
+@highest_precision
+def parallel_rts_smoother(
+    A, Q, filtered: FilterResult, chunk_size: int | None = None
+) -> SmootherResult:
+    """Parallel-scan RTS smoother (ref: `parallel_rts_smoother.py:26-103`).
+
+    `chunk_size` runs a reverse outer `lax.scan` over chunks of inner
+    associative scans (exact, like the filter's chunked mode). Besides
+    bounding memory, this keeps the traced graph size constant in T — at
+    T ~ 100k an unchunked scan costs tens of minutes of XLA compile time,
+    a chunked one compiles in seconds.
+    """
     ms, Ps = filtered.ms, filtered.Ps
     T, d = ms.shape
     dtype = Ps.dtype
@@ -213,12 +224,34 @@ def parallel_rts_smoother(A, Q, filtered: FilterResult) -> SmootherResult:
     L = jnp.concatenate([L, Ps[-1:]], axis=0)
     elems = _SmootherElems(E=E, g=g, L=L)
 
-    def op(a, b):
-        # reverse-direction combine: a is later, b is earlier in scan order;
-        # with reverse=True lax passes (earlier_result, current). We define
-        # the operator symmetric to the forward case with roles swapped.
-        return _smoothing_operator(a, b)
+    if chunk_size is None or chunk_size >= T:
+        scanned = jax.lax.associative_scan(_smoothing_operator, elems, reverse=True)
+    else:
+        assert T % chunk_size == 0, "T must be divisible by chunk_size"
+        n_chunks = T // chunk_size
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:]), elems
+        )
 
-    scanned = jax.lax.associative_scan(op, elems, reverse=True)
+        def chunk_step(carry, chunk_elems):
+            inner = jax.lax.associative_scan(
+                _smoothing_operator, chunk_elems, reverse=True
+            )
+            # fold the suffix (everything after this chunk) into each entry
+            combined = _smoothing_operator(
+                jax.tree_util.tree_map(lambda x: x[None], carry), inner
+            )
+            first = jax.tree_util.tree_map(lambda x: x[0], combined)
+            return first, combined
+
+        init = _SmootherElems(
+            E=jnp.eye(d, dtype=dtype),
+            g=jnp.zeros((d,), dtype),
+            L=jnp.zeros((d, d), dtype),
+        )
+        _, scanned = jax.lax.scan(chunk_step, init, chunked, reverse=True)
+        scanned = jax.tree_util.tree_map(
+            lambda x: x.reshape((T,) + x.shape[2:]), scanned
+        )
     Gs = jnp.concatenate([E[:-1], jnp.zeros((1, d, d), dtype)], axis=0)
     return SmootherResult(ms=scanned.g, Ps=symmetrize(scanned.L), Gs=Gs)

@@ -1,0 +1,113 @@
+"""Trainers: Adam on hyperparameters, natural-gradient on CVI sites, and the
+alternating VB_NG_ADAM composite.
+
+Counterpart of `stgp/trainers/{trainer.py,natgrad_trainer.py,standard.py}`
+(GradDescentTrainer ref `trainer.py:252`, NatGradTrainer with NaN-retry ref
+`natgrad_trainer.py:144-301`, VB_NG_ADAM ref `standard.py:58`). Differences:
+- steps are pure jitted functions over the model pytree (no objax state);
+- hyperparameter selection is structural (`trainable_mask`), not var-surgery;
+- the NaN guard reverts to the previous sites and shrinks the step size, as
+  the reference's retry loop does, but as a host-side wrapper around one
+  jitted step.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.training import trainable_mask, zero_untrainable
+
+__all__ = ["AdamTrainer", "NatGradTrainer", "VB_NG_Adam", "lr_schedule"]
+
+
+def lr_schedule(kind: str, base: float, n: int):
+    """'constant' | 'linear' | 'log' ramps (ref `natgrad_trainer.py:198-301`)."""
+    import numpy as np
+
+    if kind == "constant":
+        return [base] * n
+    if kind == "linear":
+        return list(np.linspace(base / 10, base, n))
+    if kind == "log":
+        return list(np.logspace(np.log10(base / 100), np.log10(base), n))
+    raise ValueError(kind)
+
+
+class AdamTrainer:
+    """Adam on the model's hyperparameters (non-fixed Params only)."""
+
+    def __init__(self, model: Any, lr: float = 1e-2):
+        self.opt = optax.adam(lr)
+        self.mask = trainable_mask(model)
+        self.opt_state = self.opt.init(model)
+
+        @jax.jit
+        def step(model, opt_state):
+            loss, grads = jax.value_and_grad(lambda m: m.get_objective())(model)
+            grads = zero_untrainable(grads, self.mask)
+            updates, opt_state = self.opt.update(grads, opt_state)
+            return optax.apply_updates(model, updates), opt_state, loss
+
+        self._step = step
+
+    def train(self, model: Any, epochs: int, callback: Callable | None = None):
+        losses = []
+        for i in range(epochs):
+            model, self.opt_state, loss = self._step(model, self.opt_state)
+            losses.append(float(loss))
+            if callback:
+                callback(i, model, float(loss))
+        return model, losses
+
+
+class NatGradTrainer:
+    """Natural-gradient site updates with a NaN-guard retry loop."""
+
+    def __init__(self, nan_max_attempts: int = 4):
+        self.nan_max_attempts = nan_max_attempts
+        self._step = jax.jit(
+            lambda model, lr: model.natural_gradient_update(lr),
+            static_argnums=(),
+        )
+
+    def train(self, model: Any, lrs, callback: Callable | None = None):
+        if isinstance(lrs, (int, float)):
+            lrs = [float(lrs)]
+        for i, lr in enumerate(lrs):
+            lr_try = float(lr)
+            for _ in range(self.nan_max_attempts):
+                new_model = self._step(model, lr_try)
+                ok = all(
+                    bool(jnp.all(jnp.isfinite(jnp.nan_to_num(x, nan=0.0))))
+                    for x in jax.tree_util.tree_leaves(new_model.sites.V)
+                )
+                if ok:
+                    model = new_model
+                    break
+                lr_try *= 0.5  # ref: nan retry with shrunk step
+            if callback:
+                callback(i, model, lr_try)
+        return model
+
+
+class VB_NG_Adam:
+    """Alternate: one natural-gradient site step + one Adam hyperparam step
+    per epoch (ref `standard.py:58` VB_NG_ADAM)."""
+
+    def __init__(self, model: Any, adam_lr: float = 1e-2, ng_lr: float = 1.0):
+        self.adam = AdamTrainer(model, adam_lr)
+        self.ng = NatGradTrainer()
+        self.ng_lr = ng_lr
+
+    def train(self, model: Any, epochs: int, callback: Callable | None = None):
+        losses = []
+        for i in range(epochs):
+            model = self.ng.train(model, [self.ng_lr])
+            model, ls = self.adam.train(model, 1)
+            losses.extend(ls)
+            if callback:
+                callback(i, model, ls[-1])
+        return model, losses

@@ -1,0 +1,210 @@
+"""Physics-layer gates (SURVEY.md §7 M5 / BASELINE config 3):
+- multi-head state observation == dense joint GP built from the SS covariance
+  (exact equivalence of the physics filter);
+- damped-oscillator ode_gp: residual ≈ 0, physics beats plain GP off-data;
+- monotonic CVI model produces a monotone posterior;
+- nonlinear (pendulum) residual CVI model trains stably.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physs_gp_tpu.kernels import Matern52, Matern72
+from physs_gp_tpu.kernels.markov import to_ss, transition_matrix
+from physs_gp_tpu.likelihoods import Gaussian
+from physs_gp_tpu.models import StateSpaceGP
+from physs_gp_tpu.transforms import (
+    DerivativeHead,
+    LinearOperatorHead,
+    StateObservation,
+    ValueHead,
+)
+from physs_gp_tpu.utils.params import positive_param
+from physs_gp_tpu.zoo import monotonic_cvi_gp, nonlinear_ode_cvi_gp, ode_gp
+
+
+def _dense_joint_lml(kernel, obs, t, Y, R_diag):
+    """Dense GP lml over multi-head observations, built from the SS rep:
+    Cov(H_a x(t_i), H_b x(t_j)) = H_a A(|ti-tj|) Pinf H_b^T (ti >= tj)."""
+    ss = to_ss(kernel)
+    H = obs.H(kernel)  # [p, d]
+    T, p = Y.shape
+    tau = t[:, None] - t[None, :]
+    A_abs = transition_matrix(kernel, jnp.abs(tau))  # [T, T, d, d]
+    M = jnp.einsum("stij,jk->stik", A_abs, ss.Pinf)  # A(|dt|) Pinf
+    # stationary cross-cov: E[x(ti) x(tj)^T] = A(ti-tj) Pinf if ti>=tj else
+    # (A(tj-ti) Pinf)^T
+    upper = jnp.swapaxes(jnp.swapaxes(M, 0, 1), -1, -2)
+    C = jnp.where((tau >= 0)[..., None, None], M, upper)
+    # (s, a, t, b) is time-major on both axes -> direct reshape
+    K = jnp.einsum("ai,stij,bj->satb", H, C, H).reshape(T * p, T * p)
+    yf = Y.reshape(-1)
+    ok = jnp.isfinite(yf)
+    idx = jnp.where(ok)[0]
+    Ko = K[jnp.ix_(idx, idx)] + jnp.diag(jnp.tile(R_diag, T)[idx])
+    yo = yf[idx]
+    L = jnp.linalg.cholesky(Ko)
+    a = jax.scipy.linalg.cho_solve((L, True), yo)
+    return (
+        -0.5 * yo @ a
+        - jnp.sum(jnp.log(jnp.diag(L)))
+        - 0.5 * idx.shape[0] * jnp.log(2 * jnp.pi)
+    )
+
+
+def test_multihead_filter_matches_dense_joint_gp():
+    rng = np.random.default_rng(0)
+    T = 24
+    t = jnp.asarray(np.sort(rng.uniform(0, 3, T)))
+    kern = Matern72(lengthscale=0.8, variance=1.4)
+    obs = StateObservation(
+        heads=[ValueHead(), LinearOperatorHead(coeffs=[0.5, 0.3, 1.0])]
+    )
+    Y = np.stack(
+        [rng.normal(size=T), np.zeros(T)], axis=1
+    )
+    Y[rng.uniform(size=T) < 0.3, 1] = np.nan  # ragged collocation
+    Y[2, 0] = np.nan
+    Y = jnp.asarray(Y)
+    from physs_gp_tpu.likelihoods.gaussian import IndependentGaussian
+
+    lik = IndependentGaussian(
+        variances=[positive_param(0.05), positive_param(1e-3)]
+    )
+    m = StateSpaceGP(t=t, Y=Y, kernel=kern, likelihood=lik, observation=obs)
+    lml_filter = m.log_marginal_likelihood()
+    lml_dense = _dense_joint_lml(
+        kern, obs, t, Y, jnp.array([0.05, 1e-3])
+    )
+    np.testing.assert_allclose(lml_filter, lml_dense, rtol=1e-8)
+
+
+def _damped_oscillator(t, c=0.4, k=4.0, x0=1.0, v0=0.0):
+    # analytic underdamped solution
+    wd = np.sqrt(k - c**2 / 4)
+    A = x0
+    B = (v0 + c * x0 / 2) / wd
+    return np.exp(-c * t / 2) * (A * np.cos(wd * t) + B * np.sin(wd * t))
+
+
+@pytest.mark.parametrize("parallel", [False, True])
+def test_ode_gp_damped_oscillator(parallel):
+    rng = np.random.default_rng(1)
+    c_true, k_true = 0.4, 4.0
+    t_data = np.sort(rng.uniform(0, 4, 25))  # data only in [0, 4]
+    y_data = _damped_oscillator(t_data, c_true, k_true) + 0.05 * rng.normal(
+        size=t_data.size
+    )
+    t_coll = np.linspace(0, 8, 120)  # physics enforced through [0, 8]
+    m = ode_gp(
+        t_data, y_data, t_coll, ode_coeffs=[k_true, c_true, 1.0],
+        kernel=Matern72(lengthscale=1.5, variance=1.0),
+        noise=0.05**2, coll_noise=1e-6, parallel=parallel,
+    )
+    # plain GP baseline (no physics)
+    m_plain = StateSpaceGP(
+        t=jnp.asarray(t_data), Y=jnp.asarray(y_data)[:, None],
+        kernel=Matern72(lengthscale=1.5, variance=1.0),
+        likelihood=Gaussian(positive_param(0.05**2)), parallel=parallel,
+    )
+    t_test = np.linspace(4.5, 7.5, 40)  # extrapolation region
+    truth = _damped_oscillator(t_test, c_true, k_true)
+    pred_pi = m.predict_f(jnp.asarray(t_test))
+    pred_plain = m_plain.predict_f(jnp.asarray(t_test))
+    rmse_pi = float(np.sqrt(np.mean((np.asarray(pred_pi.mean[:, 0]) - truth) ** 2)))
+    rmse_plain = float(
+        np.sqrt(np.mean((np.asarray(pred_plain.mean[:, 0]) - truth) ** 2))
+    )
+    # physics lets the GP extrapolate the oscillation; plain GP reverts to 0
+    assert rmse_pi < 0.12, f"physics-informed rmse {rmse_pi}"
+    assert rmse_pi < 0.5 * rmse_plain, (rmse_pi, rmse_plain)
+    # residual head posterior ~ 0 where enforced
+    post = m.posterior()
+    resid = np.asarray(post.mean[:, 1])
+    assert np.abs(resid).max() < 5e-2
+
+
+def test_ode_gp_learns_unknown_damping():
+    """Train the unknown ODE coefficient jointly with hyperparameters."""
+    from physs_gp_tpu.trainers import AdamTrainer
+    from physs_gp_tpu.utils.params import positive_param as pp
+
+    rng = np.random.default_rng(2)
+    c_true, k_true = 0.4, 4.0
+    t_data = np.sort(rng.uniform(0, 6, 60))
+    y_data = _damped_oscillator(t_data, c_true, k_true) + 0.02 * rng.normal(
+        size=t_data.size
+    )
+    t_coll = np.linspace(0, 6, 80)
+    c_param = pp(1.5)  # wrong init
+    m = ode_gp(
+        t_data, y_data, t_coll, ode_coeffs=[k_true, c_param, 1.0],
+        kernel=Matern72(lengthscale=1.5, variance=1.0), noise=0.02**2,
+        coll_noise=1e-5,
+    )
+    trainer = AdamTrainer(m, lr=0.05)
+    m2, losses = trainer.train(m, 150)
+    assert losses[-1] < losses[0]
+    c_learned = float(m2.observation.heads[1].coeffs[1].value)
+    assert abs(c_learned - c_true) < 0.1, c_learned
+
+
+def test_monotonic_cvi_gp():
+    rng = np.random.default_rng(3)
+    t_data = np.sort(rng.uniform(0, 1, 40))
+    f_true = 20 * t_data + 2 * np.sin(20 * t_data)  # monotone-ish trend
+    y_data = f_true + 1.0 * rng.normal(size=t_data.size)
+    t_coll = np.linspace(0, 1, 50)
+    m = monotonic_cvi_gp(
+        t_data, y_data, t_coll,
+        kernel=Matern72(lengthscale=0.3, variance=100.0), noise=1.0,
+    )
+    e0 = float(m.elbo())
+    for _ in range(60):
+        m = m.natural_gradient_update(0.5)
+    assert float(m.elbo()) > e0
+    post = m.posterior()
+    # derivative head should be (softly) non-negative at collocation points
+    dmean = np.asarray(post.mean[:, 1])
+    assert dmean.min() > -1.0  # soft constraint; scale of f' is ~20
+    # and the fitted f strictly increasing between consecutive grid points
+    fmean = np.asarray(post.mean[:, 0])
+    viol = np.mean(np.diff(fmean) < -1e-6)
+    assert viol < 0.1
+
+
+def test_nonlinear_pendulum_cvi():
+    rng = np.random.default_rng(4)
+    c_true, w2 = 0.3, 9.0
+
+    # simulate pendulum f'' + c f' + w2 sin(f) = 0
+    from scipy.integrate import solve_ivp
+
+    sol = solve_ivp(
+        lambda s, x: [x[1], -c_true * x[1] - w2 * np.sin(x[0])],
+        (0, 5), [1.2, 0.0], dense_output=True, rtol=1e-9,
+    )
+    t_data = np.sort(rng.uniform(0, 5, 50))
+    y_data = sol.sol(t_data)[0] + 0.03 * rng.normal(size=t_data.size)
+    t_coll = np.linspace(0, 5, 60)
+
+    def residual(f):  # f: [..., 3] heads (f, f', f'')
+        return f[..., 2] + c_true * f[..., 1] + w2 * jnp.sin(f[..., 0])
+
+    m = nonlinear_ode_cvi_gp(
+        t_data, y_data, t_coll, residual, n_heads=3,
+        kernel=Matern72(lengthscale=1.0, variance=1.0), noise=0.03**2,
+        coll_noise=1e-3, n_mc=16,
+    )
+    e0 = float(m.elbo())
+    for _ in range(40):
+        m = m.natural_gradient_update(0.3)
+    e1 = float(m.elbo())
+    assert np.isfinite(e1) and e1 > e0
+    post = m.posterior()
+    rmse = float(
+        np.sqrt(np.mean((np.asarray(post.mean[:, 0])[np.isin(np.asarray(m.t), t_data)]
+                         - sol.sol(t_data)[0]) ** 2))
+    )
+    assert rmse < 0.1
