@@ -8,6 +8,6 @@ functions, batched closed-form SDE discretisation, `lax.scan` /
 updates, and `shard_map` time-axis sharding for multi-chip scaling.
 """
 
-from . import approx, data, kernels, likelihoods, models, ops, trainers, transforms, utils, zoo
+from . import approx, data, kernels, likelihoods, means, metrics, models, ops, parallel, trainers, transforms, utils, zoo
 
 __version__ = "0.1.0"

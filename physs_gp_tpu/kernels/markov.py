@@ -111,6 +111,29 @@ def noise_matrix(kernel, dt: jnp.ndarray) -> jnp.ndarray:
     """
     if isinstance(kernel, SumKernel):
         return _batched_block_diag([noise_matrix(k, dt) for k in kernel.parts])
+    if isinstance(kernel, ProductKernel):
+        # exact cancellation-free composition when all but one factor is
+        # noiseless (energy-preserving, e.g. the quasi-periodic kernel
+        # Periodic x Matérn): rotations satisfy A P A^T = P, so
+        # Q_prod = kron(..., Pinf_noiseless, ..., Q_noisy, ...).
+        noisy = [k for k in kernel.parts if not getattr(k, "is_noiseless", False)]
+        if len(noisy) == 0:
+            ss = to_ss(kernel)
+            dt = jnp.asarray(dt)
+            d = ss.state_dim
+            return jnp.zeros(dt.shape + (d, d), ss.Pinf.dtype)
+        if len(noisy) == 1:
+            out = None
+            for k in kernel.parts:
+                blk = (
+                    to_ss(k).Pinf
+                    if getattr(k, "is_noiseless", False)
+                    else noise_matrix(k, dt)
+                )
+                out = blk if out is None else kron(out, blk)
+            return out
+        ss = to_ss(kernel)
+        return stationary_noise(transition_matrix(kernel, dt), ss.Pinf)
     if hasattr(kernel, "noise_cov"):
         return kernel.noise_cov(dt)
     ss = to_ss(kernel)

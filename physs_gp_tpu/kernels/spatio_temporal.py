@@ -1,0 +1,125 @@
+"""Separable spatio-temporal Markov kernel: k((t,s), (t',s')) = k_t(t,t') k_s(s,s').
+
+TPU-native counterpart of the reference's `SpatioTemporalSeperableKernel`
+(`kernels/kernel.py:213-265`, SS rep in `kernels/ss_utils.py:42`): the
+state-space representation over a fixed set of spatial sites Z [Ns, ds] is
+
+    x(t) = (temporal state at each z_j)  in R^{Ns * d_t}
+    A_st(dt) = I_Ns ⊗ A_t(dt)      (transition)
+    P_inf    = K_s(Z,Z) ⊗ P_inf_t  (stationary covariance)
+    Q(dt)    = K_s(Z,Z) ⊗ Q_t(dt)  (discretised noise — exact for separable)
+    H        = I_Ns ⊗ H_t          (observe f on the grid)
+
+State ordering is site-major: x = [site_0 temporal block, site_1 block, ...],
+matching `kron(spatial, temporal)` index conventions everywhere.
+
+Scaling note: A/Q are materialised as [T, Ns*d_t, Ns*d_t] for the generic
+filters (as the reference does). The Kronecker structure of the *leaf*
+elements is exploited where it survives (element construction einsums);
+after one associative combine the structure is gone, which is inherent to
+the parallel-scan algorithm, not the implementation.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.lgssm import LGSSM
+from ..ops.matrix import default_jitter, kron, safe_cholesky, symmetrize
+from ..utils.struct import field, module, static
+from .base import Kernel
+from .markov import noise_matrix, to_ss, transition_matrix
+
+__all__ = ["SpatioTemporalKernel"]
+
+
+@module
+class SpatioTemporalKernel(Kernel):
+    """k_t (Markov) x k_s over fixed spatial sites Z.
+
+    Z is a plain array field (trainable inducing locations can be added by
+    promoting it to a Param later; the reference's SpatialSparsity
+    `sparsity/sparsity.py:65` keeps Z trainable — we train Z via the pytree
+    when the user passes a traced array).
+    """
+
+    k_time: object
+    k_space: object
+    Z: jnp.ndarray  # [Ns, ds] spatial sites carrying the state
+
+    # ---- dense (batch) kernel interface ----
+    def k_scalar(self, x1, x2):
+        """x = [t, s...]: separable product (for batch-GP cross-checks)."""
+        t1, s1 = x1[..., :1], x1[..., 1:]
+        t2, s2 = x2[..., :1], x2[..., 1:]
+        return self.k_time.k_scalar(t1, t2) * self.k_space.k_scalar(s1, s2)
+
+    # ---- state-space interface ----
+    @property
+    def n_sites(self) -> int:
+        return self.Z.shape[0]
+
+    @property
+    def temporal_state_dim(self) -> int:
+        return to_ss(self.k_time).state_dim
+
+    def Kzz(self) -> jnp.ndarray:
+        """Spatial gram with RELATIVE jitter: dense grids under smooth RBF
+        kernels are near-singular, and the lifted P0 = Kzz ⊗ Pinf_t inherits
+        the conditioning — in fp32 this NaNs the filter without it."""
+        K = self.k_space.K(self.Z, self.Z)
+        scale = jnp.mean(jnp.diagonal(K))
+        eps = 100.0 * default_jitter(K.dtype)
+        return K + eps * scale * jnp.eye(K.shape[0], dtype=K.dtype)
+
+    def to_lgssm(self, t: jnp.ndarray) -> LGSSM:
+        """Kron-lifted discretised system over time points t [T]."""
+        t = jnp.ravel(t)
+        ss_t = to_ss(self.k_time)
+        dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t)])
+        A_t = transition_matrix(self.k_time, dt)  # [T, d, d]
+        Q_t = noise_matrix(self.k_time, dt)  # [T, d, d]
+        Ns = self.n_sites
+        eye_s = jnp.eye(Ns, dtype=A_t.dtype)
+        Ks = self.Kzz()
+        A = kron(eye_s, A_t)  # [T, Ns*d, Ns*d]
+        Q = kron(Ks, Q_t)
+        Pinf = symmetrize(kron(Ks, ss_t.Pinf))
+        H = kron(eye_s, ss_t.H)  # [Ns, Ns*d]
+        D = Ns * ss_t.state_dim
+        return LGSSM(A=A, Q=Q, H=H, m0=jnp.zeros(D, A.dtype), P0=Pinf)
+
+    def spatial_weights(self, s_new: jnp.ndarray, s_op=None) -> jnp.ndarray:
+        """Conditional weights w [N*, Ns]: (L_s f)(s*) ≈ w @ f(Z).
+
+        w = (L_s k_s)(s*, Z) @ K_zz^{-1} — the Kronecker spatial conditional
+        (ref `computation/spatial_conditionals.py:30`); `s_op` applies a
+        linear spatial operator (gradient/Laplacian rows for PDE residuals,
+        ref `kernels/diff_op.py` derivative cross-covariances) to
+        k_s(., z) in its first argument; None = identity.
+        """
+        import jax
+
+        s_new = jnp.atleast_2d(s_new)
+        if s_op is None:
+            Ksz = self.k_space.K(s_new, self.Z)  # [N*, Ns]
+        else:
+            Ksz = jax.vmap(
+                lambda s: jax.vmap(lambda z: s_op(self.k_space.k_scalar, s, z))(
+                    self.Z
+                )
+            )(s_new)
+        L = safe_cholesky(self.Kzz())
+        import jax.scipy.linalg as jsl
+
+        return jsl.cho_solve((L, True), Ksz.T).T  # [N*, Ns]
+
+    def conditional_var_correction(self, s_new: jnp.ndarray) -> jnp.ndarray:
+        """k_t(0) * (k_ss - k_sz Kzz^-1 k_zs) — residual prior variance at
+        off-grid spatial points (time-independent for separable kernels)."""
+        s_new = jnp.atleast_2d(s_new)
+        w = self.spatial_weights(s_new)
+        Ksz = self.k_space.K(s_new, self.Z)
+        kss = self.k_space.K_diag(s_new)
+        resid = jnp.maximum(kss - jnp.sum(w * Ksz, axis=-1), 0.0)
+        kt0 = self.k_time.K_diag(jnp.zeros((1, 1), s_new.dtype))[0]
+        return kt0 * resid

@@ -1,0 +1,105 @@
+"""Wiener-family (non-stationary) Markov kernels.
+
+Counterpart of `stgp/kernels/wiener.py:17-120` (`Wiener`, `WienerVelocity`,
+`IntegratedWiener`). Non-stationary: there is no P_inf, so `to_ss().Pinf`
+holds the INITIAL state covariance P0 (a parameter) and the discretised
+noise comes from the exact closed-form integrals, never from the stationary
+identity.
+
+    Wiener          x' = w,           A = 1,            Q = q dt
+    WienerVelocity  (f, f'): f'' = w, A = [[1,dt],[0,1]],
+                    Q = q [[dt^3/3, dt^2/2], [dt^2/2, dt]]
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.params import Param, positive_param
+from ..utils.struct import field, module, static
+from .base import Kernel
+from .markov import MarkovKernel, StateSpace
+
+__all__ = ["Wiener", "WienerVelocity"]
+
+
+@module
+class Wiener(MarkovKernel):
+    """k(t, t') = variance * min(t, t') (+ initial variance P0)."""
+
+    variance: Param = field(default_factory=lambda: positive_param(1.0))
+    P0: Param = field(default_factory=lambda: positive_param(1e-6))
+
+    def k_scalar(self, x1, x2):
+        t1 = jnp.sum(jnp.atleast_1d(x1))
+        t2 = jnp.sum(jnp.atleast_1d(x2))
+        return self.variance.value * jnp.minimum(t1, t2) + self.P0.value
+
+    def to_ss(self) -> StateSpace:
+        q = self.variance.value
+        dtype = q.dtype
+        return StateSpace(
+            F=jnp.zeros((1, 1), dtype),
+            L=jnp.ones((1, 1), dtype),
+            Qc=q.reshape(1, 1),
+            H=jnp.ones((1, 1), dtype),
+            Pinf=self.P0.value.reshape(1, 1),
+            minf=jnp.zeros(1, dtype),
+        )
+
+    def transition(self, dt):
+        dt = jnp.asarray(dt)
+        return jnp.ones(dt.shape + (1, 1), dt.dtype)
+
+    def noise_cov(self, dt):
+        dt = jnp.asarray(dt)
+        return (self.variance.value * dt)[..., None, None]
+
+
+@module
+class WienerVelocity(MarkovKernel):
+    """Integrated Wiener (constant-velocity) process; state (f, f')."""
+
+    variance: Param = field(default_factory=lambda: positive_param(1.0))
+    P0: Param = field(default_factory=lambda: positive_param(1e-6))
+
+    def k_scalar(self, x1, x2):
+        t1 = jnp.sum(jnp.atleast_1d(x1))
+        t2 = jnp.sum(jnp.atleast_1d(x2))
+        tmin = jnp.minimum(t1, t2)
+        return (
+            self.variance.value
+            * (tmin**3 / 3.0 + jnp.abs(t1 - t2) * tmin**2 / 2.0)
+            + self.P0.value
+        )
+
+    def to_ss(self) -> StateSpace:
+        q = self.variance.value
+        dtype = q.dtype
+        F = jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype)
+        L = jnp.array([[0.0], [1.0]], dtype)
+        return StateSpace(
+            F=F,
+            L=L,
+            Qc=q.reshape(1, 1),
+            H=jnp.array([[1.0, 0.0]], dtype),
+            Pinf=self.P0.value * jnp.eye(2, dtype=dtype),
+            minf=jnp.zeros(2, dtype),
+        )
+
+    def transition(self, dt):
+        dt = jnp.asarray(dt)
+        eye = jnp.eye(2, dtype=dt.dtype)
+        out = jnp.broadcast_to(eye, dt.shape + (2, 2))
+        return out.at[..., 0, 1].set(dt)
+
+    def noise_cov(self, dt):
+        dt = jnp.asarray(dt)
+        q = self.variance.value
+        Q = jnp.stack(
+            [
+                jnp.stack([dt**3 / 3.0, dt**2 / 2.0], -1),
+                jnp.stack([dt**2 / 2.0, dt], -1),
+            ],
+            -2,
+        )
+        return q * Q

@@ -1,0 +1,1 @@
+from .metrics import confidence_interval, gaussian_nlpd, nlpd_quadrature, rmse

@@ -1,0 +1,55 @@
+"""Evaluation metrics: RMSE, NLPD, confidence intervals.
+
+Counterpart of `stgp/metrics/nlpd.py:44+` (dispatched exact/quadrature/MC
+NLPD) and `computation/predictors/confidence_intervals.py`. All NaN-aware
+(missing targets contribute nothing).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quadrature import expect_gh
+
+__all__ = ["rmse", "gaussian_nlpd", "nlpd_quadrature", "confidence_interval"]
+
+_LOG2PI = jnp.log(2.0 * jnp.pi)
+
+
+def rmse(y_true, y_pred) -> jnp.ndarray:
+    y_true = jnp.asarray(y_true)
+    ok = jnp.isfinite(y_true)
+    se = jnp.where(ok, jnp.nan_to_num(y_true - y_pred) ** 2, 0.0)
+    return jnp.sqrt(jnp.sum(se) / jnp.sum(ok))
+
+
+def gaussian_nlpd(y, mean, var) -> jnp.ndarray:
+    """Mean NLPD under Gaussian predictive moments (exact closed form)."""
+    y = jnp.asarray(y)
+    ok = jnp.isfinite(y)
+    val = 0.5 * (_LOG2PI + jnp.log(var) + jnp.nan_to_num(y - mean) ** 2 / var)
+    return jnp.sum(jnp.where(ok, val, 0.0)) / jnp.sum(ok)
+
+
+def nlpd_quadrature(likelihood, y, f_mean, f_var, gh_points: int = 20):
+    """Mean NLPD marginalising the latent with Gauss-Hermite quadrature
+    (ref `metrics/nlpd.py:44` quadrature branch)."""
+    y = jnp.asarray(y)
+    pd = expect_gh(
+        lambda ff: jnp.exp(likelihood.log_prob(y[..., None], ff)),
+        f_mean,
+        f_var,
+        gh_points,
+    )
+    val = -jnp.log(jnp.maximum(pd, 1e-300))
+    ok = jnp.isfinite(y)
+    return jnp.sum(jnp.where(ok, val, 0.0)) / jnp.sum(ok)
+
+
+def confidence_interval(mean, var, level: float = 0.95):
+    """Central Gaussian credible interval (ref confidence_intervals.py)."""
+    from jax.scipy.stats import norm
+
+    z = jax.scipy.special.ndtri(0.5 + level / 2.0)
+    sd = jnp.sqrt(var)
+    return mean - z * sd, mean + z * sd

@@ -1,2 +1,6 @@
 from .ssgp import GaussianMoments, StateSpaceGP
 from .cvi_gp import CVIGP
+from .stgp import SpatioTemporalGP
+from .batch_gp import BatchGP
+from .svgp import SVGP
+from .ekf_gp import NonlinearSSGP

@@ -1,0 +1,109 @@
+"""Exact (batch) GP regression — dense conjugate inference.
+
+TPU-native counterpart of the reference's `models/batch_gp.py:27` (lml via
+closed form `computation/log_marginal_likelihoods.py:108`, prediction via
+dense conditionals `computation/marginals.py:24-618`). Multi-output kernels
+(DerivativeKernel, LMC) produce data-major block Grams; Y is [N, P] and NaNs
+are handled by the fixed-shape masked-covariance algebra (no dynamic shapes
+under jit).
+
+Dense Grams are where the MXU earns its keep: the cross-covariance matmul and
+the Cholesky triangular solves are large fp32 matmuls.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..likelihoods.gaussian import Gaussian, IndependentGaussian
+from ..ops.gaussian import mask_covariance
+from ..ops.matrix import (
+    highest_precision,
+    log_det_from_chol,
+    safe_cholesky,
+    solve_lower,
+)
+from ..utils.struct import module, static
+from .ssgp import GaussianMoments
+
+__all__ = ["BatchGP"]
+
+_LOG2PI = jnp.log(2.0 * jnp.pi)
+
+
+@module
+class BatchGP:
+    X: jnp.ndarray  # [N, D]
+    Y: jnp.ndarray  # [N, P] (NaN = missing)
+    kernel: object
+    likelihood: object
+
+    @property
+    def n_outputs(self) -> int:
+        return getattr(self.kernel, "n_outputs", 1)
+
+    def _noise_diag(self, N: int) -> jnp.ndarray:
+        """Flattened per-entry noise variances [N*P] (data-major)."""
+        P = self.n_outputs
+        if isinstance(self.likelihood, IndependentGaussian):
+            v = self.likelihood._v  # [P]
+            return jnp.tile(v, N)
+        return jnp.broadcast_to(self.likelihood.variance.value, (N * P,))
+
+    def _masked_chol(self):
+        N = self.X.shape[0]
+        yf = self.Y.reshape(-1)
+        mask = jnp.isfinite(yf).astype(self.X.dtype)
+        K = self.kernel.K(self.X, self.X)
+        Ky = K + jnp.diag(self._noise_diag(N))
+        Km = mask_covariance(Ky, mask)
+        L = safe_cholesky(Km)
+        y0 = jnp.where(mask > 0, jnp.nan_to_num(yf), 0.0)
+        return L, y0, mask
+
+    @highest_precision
+    def log_marginal_likelihood(self) -> jnp.ndarray:
+        L, y0, mask = self._masked_chol()
+        alpha = solve_lower(L, y0[:, None])[:, 0]
+        n_obs = jnp.sum(mask)
+        return -0.5 * (
+            jnp.sum(alpha * alpha) + log_det_from_chol(L) + n_obs * _LOG2PI
+        )
+
+    def get_objective(self) -> jnp.ndarray:
+        return -self.log_marginal_likelihood()
+
+    @highest_precision
+    def predict_f(self, Xs, full_cov: bool = False):
+        """Posterior q(f*) at new inputs: [Ns, P] moments (data-major)."""
+        L, y0, mask = self._masked_chol()
+        Xs = jnp.atleast_2d(Xs)
+        P = self.n_outputs
+        Kxs = self.kernel.K(self.X, Xs)  # [N*P, Ns*P]
+        Kxs = Kxs * mask[:, None]  # zero rows for missing entries
+        A = solve_lower(L, Kxs)  # [N*P, Ns*P]
+        alpha = solve_lower(L, y0[:, None])
+        mean = (A.T @ alpha)[:, 0]
+        if full_cov:
+            Kss = self.kernel.K(Xs, Xs)
+            cov = Kss - A.T @ A
+            return mean.reshape(-1, P), cov
+        kd = self.kernel.K_diag(Xs)
+        var = kd - jnp.sum(A * A, axis=0)
+        return GaussianMoments(mean=mean.reshape(-1, P), var=var.reshape(-1, P))
+
+    def predict_y(self, Xs) -> GaussianMoments:
+        f = self.predict_f(Xs)
+        Ns = f.mean.shape[0]
+        nv = self._noise_diag(Ns).reshape(Ns, self.n_outputs)
+        return GaussianMoments(mean=f.mean, var=f.var + nv)
+
+    def nlpd(self, Xs, Ys) -> jnp.ndarray:
+        """Mean negative log predictive density (Gaussian closed form)."""
+        py = self.predict_y(Xs)
+        Ys = jnp.reshape(Ys, py.mean.shape)
+        val = 0.5 * (
+            _LOG2PI + jnp.log(py.var) + (Ys - py.mean) ** 2 / py.var
+        )
+        ok = jnp.isfinite(Ys)
+        return jnp.sum(jnp.where(ok, jnp.nan_to_num(val), 0.0)) / jnp.sum(ok)

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from ..approx.cvi import Sites, init_sites, natgrad_update
 from ..likelihoods.gaussian import BlockDiagonalGaussian
 from ..likelihoods.nongaussian import expected_log_lik
-from ..ops import kalman, parallel_kalman
 from ..ops.lgssm import build_lgssm
+from ..ops.runner import run_filter_smoother
 from ..ops.matrix import diag_from_XDXT, log_det_from_chol, safe_cholesky, solve_lower
 from ..utils.struct import module, replace, static
 from .ssgp import GaussianMoments
@@ -40,12 +40,13 @@ class CVIGP:
     sites: Sites
     observation: object = None  # optional StateObservation (physics heads)
     parallel: bool = static(default=False)
+    sqrt: bool = static(default=False)
     chunk_size: object = static(default=None)
 
     # ---- construction ----
     @classmethod
     def init(cls, t, Y, kernel, likelihood, observation=None, parallel=False,
-             chunk_size=None, site_var: float = 1.0):
+             sqrt=False, chunk_size=None, site_var: float = 1.0):
         return cls(
             t=jnp.ravel(t),
             Y=Y,
@@ -54,6 +55,7 @@ class CVIGP:
             sites=init_sites(Y, site_var),
             observation=observation,
             parallel=parallel,
+            sqrt=sqrt,
             chunk_size=chunk_size,
         )
 
@@ -66,19 +68,10 @@ class CVIGP:
             ssm = ssm._replace(H=self.observation.H(self.kernel))
         T, p = self.sites.Y.shape
         R = self.sites.V
-        if self.parallel:
-            f = parallel_kalman.parallel_kalman_filter(
-                ssm.A, ssm.Q, ssm.H, R, self.sites.Y, ssm.m0, ssm.P0,
-                chunk_size=self.chunk_size,
-            )
-            s = parallel_kalman.parallel_rts_smoother(
-                ssm.A, ssm.Q, f, chunk_size=self.chunk_size
-            )
-        else:
-            f = kalman.kalman_filter(
-                ssm.A, ssm.Q, ssm.H, R, self.sites.Y, ssm.m0, ssm.P0
-            )
-            s = kalman.rts_smoother(ssm.A, ssm.Q, f)
+        f, s = run_filter_smoother(
+            ssm, R, self.sites.Y, parallel=self.parallel, sqrt=self.sqrt,
+            chunk_size=self.chunk_size,
+        )
         m = s.ms @ ssm.H.T  # [T, p]
         S = jnp.einsum("pi,tij,qj->tpq", ssm.H, s.Ps, ssm.H)  # [T, p, p]
         return f.lml, m, S
@@ -124,6 +117,17 @@ class CVIGP:
         )
         return replace(self, sites=new_sites)
 
+    def step_with_elbo(self, lr: float):
+        """One CVI step + the (pre-update) ELBO from a SINGLE surrogate
+        filter+smoother pass — use this in training loops instead of
+        natural_gradient_update + elbo, which would run the pass twice."""
+        lml_sur, m, S = self._surrogate_pass()
+        elbo = self._ell_data(m, S) - self._ell_sites(m, S) + lml_sur
+        new_sites = natgrad_update(
+            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr
+        )
+        return replace(self, sites=new_sites), elbo
+
     def posterior(self) -> GaussianMoments:
         _, m, S = self._surrogate_pass()
         return GaussianMoments(mean=m, var=jnp.diagonal(S, axis1=-2, axis2=-1))
@@ -139,6 +143,7 @@ class CVIGP:
             likelihood=BlockDiagonalGaussian(V=self.sites.V),
             observation=self.observation,
             parallel=self.parallel,
+            sqrt=self.sqrt,
             chunk_size=self.chunk_size,
         )
         return surrogate.predict_f(t_new)

@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..likelihoods.gaussian import Gaussian
-from ..ops import kalman, parallel_kalman
 from ..ops.lgssm import build_lgssm
+from ..ops.runner import run_filter, run_filter_smoother
 from ..ops.matrix import diag_from_XDXT
 from ..utils.struct import module, static
 
@@ -39,6 +39,7 @@ class StateSpaceGP:
     likelihood: object
     observation: object = None  # optional StateObservation (physics heads)
     parallel: bool = static(default=False)
+    sqrt: bool = static(default=False)  # square-root (QR) filtering, fp32-robust
     chunk_size: object = static(default=None)
 
     # ---- internals ----
@@ -51,33 +52,24 @@ class StateSpaceGP:
         R = self.likelihood.R(T, p)
         return ssm, R
 
-    def _run_filter(self, ssm, R, Y):
-        if self.parallel:
-            return parallel_kalman.parallel_kalman_filter(
-                ssm.A, ssm.Q, ssm.H, R, Y, ssm.m0, ssm.P0,
-                chunk_size=self.chunk_size,
-            )
-        return kalman.kalman_filter(ssm.A, ssm.Q, ssm.H, R, Y, ssm.m0, ssm.P0)
-
-    def _run_smoother(self, ssm, filtered):
-        if self.parallel:
-            return parallel_kalman.parallel_rts_smoother(
-                ssm.A, ssm.Q, filtered, chunk_size=self.chunk_size
-            )
-        return kalman.rts_smoother(ssm.A, ssm.Q, filtered)
-
     # ---- public API (mirrors ref `core/models.py:108-118` surface) ----
     def log_marginal_likelihood(self) -> jnp.ndarray:
         ssm, R = self._filter_inputs()
-        return self._run_filter(ssm, R, self.Y).lml
+        f, _ = run_filter(
+            ssm, R, self.Y, parallel=self.parallel, sqrt=self.sqrt,
+            chunk_size=self.chunk_size,
+        )
+        return f.lml
 
     def get_objective(self) -> jnp.ndarray:
         return -self.log_marginal_likelihood()
 
     def filter_smooth(self, Y=None):
         ssm, R = self._filter_inputs()
-        f = self._run_filter(ssm, R, self.Y if Y is None else Y)
-        s = self._run_smoother(ssm, f)
+        f, s = run_filter_smoother(
+            ssm, R, self.Y if Y is None else Y, parallel=self.parallel,
+            sqrt=self.sqrt, chunk_size=self.chunk_size,
+        )
         return ssm, f, s
 
     def posterior(self) -> GaussianMoments:
@@ -141,16 +133,8 @@ class StateSpaceGPView:
         ssm = build_lgssm(self.base.kernel, self.t)
         if self.base.observation is not None:
             ssm = ssm._replace(H=self.base.observation.H(self.base.kernel))
-        R = self.R
-        if self.base.parallel:
-            f = parallel_kalman.parallel_kalman_filter(
-                ssm.A, ssm.Q, ssm.H, R, self.Y, ssm.m0, ssm.P0,
-                chunk_size=self.base.chunk_size,
-            )
-            s = parallel_kalman.parallel_rts_smoother(
-                ssm.A, ssm.Q, f, chunk_size=self.base.chunk_size
-            )
-        else:
-            f = kalman.kalman_filter(ssm.A, ssm.Q, ssm.H, R, self.Y, ssm.m0, ssm.P0)
-            s = kalman.rts_smoother(ssm.A, ssm.Q, f)
+        f, s = run_filter_smoother(
+            ssm, self.R, self.Y, parallel=self.base.parallel,
+            sqrt=self.base.sqrt, chunk_size=self.base.chunk_size,
+        )
         return ssm, f, s

@@ -1,1 +1,1 @@
-from . import gaussian, kalman, lgssm, matrix, parallel_kalman, quadrature
+from . import ekf, gaussian, kalman, lgssm, matrix, parallel_kalman, parallel_sqrt_kalman, quadrature, runner, sqrt_kalman

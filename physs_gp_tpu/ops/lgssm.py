@@ -36,6 +36,9 @@ def build_lgssm(kernel, t: jnp.ndarray) -> LGSSM:
     from ..kernels.markov import noise_matrix, to_ss, transition_matrix
     from .matrix import highest_precision
 
+    if hasattr(kernel, "to_lgssm"):
+        # composite kernels (e.g. SpatioTemporalKernel) own their lifting
+        return highest_precision(kernel.to_lgssm)(t)
     return highest_precision(_build_lgssm_impl)(
         kernel, t, noise_matrix, to_ss, transition_matrix
     )

@@ -19,6 +19,7 @@ __all__ = [
     "add_jitter",
     "symmetrize",
     "safe_cholesky",
+    "safe_cholesky_rel",
     "cholesky_solve",
     "solve_lower",
     "solve_upper",
@@ -77,6 +78,24 @@ def symmetrize(A: jnp.ndarray) -> jnp.ndarray:
 def safe_cholesky(A: jnp.ndarray, jitter: float | None = DEFAULT_JITTER) -> jnp.ndarray:
     """Cholesky of A + jitter*I, symmetrized first."""
     return jnp.linalg.cholesky(add_jitter(symmetrize(A), jitter))
+
+
+def safe_cholesky_rel(A: jnp.ndarray, rel: float | None = None) -> jnp.ndarray:
+    """Cholesky with RELATIVE jitter plus a tiny absolute floor.
+
+    Differentiable everywhere (unlike eigh-based PSD square roots, whose
+    gradients are NaN for degenerate spectra like sigma^2 * I), and well
+    defined for exactly-zero matrices (e.g. Q(dt=0)): chol(floor * I) is a
+    negligible multiple of I.
+    """
+    if rel is None:
+        rel = default_jitter(A.dtype)
+    scale = jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), -1)
+    eps = rel * scale + 1e-30  # absolute floor keeps chol(0) finite
+    n = A.shape[-1]
+    return jnp.linalg.cholesky(
+        symmetrize(A) + eps[..., None, None] * jnp.eye(n, dtype=A.dtype)
+    )
 
 
 def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:

@@ -139,35 +139,37 @@ def parallel_kalman_filter(
     if mask is None:
         mask = observation_mask(y, P0.dtype)
     H_steps = jnp.broadcast_to(H, (T,) + H.shape[-2:]) if H.ndim == 2 else H
-    elems = _build_filter_elements(A, Q, H_steps, R, y, mask, m0, P0)
 
     if chunk_size is None or chunk_size >= T:
+        elems = _build_filter_elements(A, Q, H_steps, R, y, mask, m0, P0)
         scanned = jax.lax.associative_scan(_filtering_operator, elems)
         ms, Ps = scanned.b, scanned.C
     else:
+        # Chunked mode: the inter-chunk carry is the FILTERED STATE (m, P) —
+        # a sufficient statistic by Markovianity — not a combined element.
+        # This (a) resets fp32 error accumulation at every chunk boundary
+        # (element products across tens of thousands of steps go indefinite;
+        # filtered states do not), (b) builds elements per chunk inside the
+        # scan body, bounding peak memory to O(chunk * d^2), and (c) keeps
+        # the XLA graph size constant in T.
         assert T % chunk_size == 0, "T must be divisible by chunk_size"
         n_chunks = T // chunk_size
         chunked = jax.tree_util.tree_map(
-            lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:]), elems
+            lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:]),
+            (A, Q, H_steps, R, y, mask),
         )
 
-        def chunk_step(carry, chunk_elems):
-            inner = jax.lax.associative_scan(_filtering_operator, chunk_elems)
-            # fold the carry (prefix of everything before this chunk) in
-            combined = _filtering_operator(
-                jax.tree_util.tree_map(lambda x: x[None], carry), inner
+        def chunk_step(carry, inputs):
+            m_prev, P_prev = carry
+            A_c, Q_c, H_c, R_c, y_c, mask_c = inputs
+            elems = _build_filter_elements(
+                A_c, Q_c, H_c, R_c, y_c, mask_c, m_prev, P_prev
             )
-            last = jax.tree_util.tree_map(lambda x: x[-1], combined)
-            return last, (combined.b, combined.C)
+            inner = jax.lax.associative_scan(_filtering_operator, elems)
+            ms_c, Ps_c = inner.b, symmetrize(inner.C)
+            return (ms_c[-1], Ps_c[-1]), (ms_c, Ps_c)
 
-        init = _FilterElems(
-            A=jnp.eye(m0.shape[-1], dtype=P0.dtype),
-            b=jnp.zeros_like(m0),
-            C=jnp.zeros_like(P0),
-            J=jnp.zeros_like(P0),
-            eta=jnp.zeros_like(m0),
-        )
-        _, (ms, Ps) = jax.lax.scan(chunk_step, init, chunked)
+        _, (ms, Ps) = jax.lax.scan(chunk_step, (m0, P0), chunked)
         ms = ms.reshape((T,) + ms.shape[2:])
         Ps = Ps.reshape((T,) + Ps.shape[2:])
 

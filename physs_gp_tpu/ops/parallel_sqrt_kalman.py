@@ -1,0 +1,341 @@
+"""Parallel (associative-scan) SQUARE-ROOT Kalman filter/smoother.
+
+Square-root formulation of temporal parallelisation following Yaghoobi,
+Corenflos, Hassan & Särkkä (parallel square-root filtering/smoothing; see
+PAPERS.md "Parallel square-root statistical linear regression" and "Parallel
+Iterated Extended and Sigma-point Kalman Smoothers"): the filtering elements
+carry triangular factors (A, b, U, eta, Z) with C = U U^T, J = Z Z^T, and the
+associative combine works entirely in QR/Woodbury form — no PSD subtraction,
+no covariance ever formed. This is the fp32-robust default for long series
+with tight observation noise on TPU, where the covariance-form combine goes
+indefinite (observed: NaN at T ~ 4k on spatio-temporal states).
+
+Dense-form reference for the combine identities:
+    A = A2 (I + C1 J2)^-1 A1,
+    (I + C1 J2)^-1      = I - U1 M^-1 G Z2^T,      G = U1^T Z2, M = I + G G^T
+    (I + C1 J2)^-1 C1   = (U1 Xi^-T)(U1 Xi^-T)^T,  Xi = chol(M) = tria([G, I])
+    (I + J2 C1)^-1 J2   = (Z2 Lam^-T)(Z2 Lam^-T)^T, Lam = tria([G^T, I]).
+
+Chunked mode carries the filtered (m, U) state between chunks (sufficient by
+Markovianity — resets error, bounds memory, constant graph size in T).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .kalman import FilterResult, SmootherResult, observation_mask
+from .matrix import highest_precision
+from .sqrt_kalman import _sqrt_update, tria
+
+__all__ = ["parallel_sqrt_kalman_filter", "parallel_sqrt_rts_smoother"]
+
+_LOG2PI = jnp.log(2.0 * jnp.pi)
+
+
+class _SqrtFilterElems(NamedTuple):
+    A: jnp.ndarray  # [T, d, d]
+    b: jnp.ndarray  # [T, d]
+    U: jnp.ndarray  # [T, d, d]  C = U U^T
+    eta: jnp.ndarray  # [T, d]
+    Z: jnp.ndarray  # [T, d, d]  J = Z Z^T
+
+
+def _solve_tri(L, B, lower=True):
+    return jax.scipy.linalg.solve_triangular(L, B, lower=lower)
+
+
+def _build_sqrt_elements(A, Q_sqrt, H, R_sqrt, y, mask, m0, U0):
+    """Vectorised sqrt filtering elements for all T steps (prior folded into
+    element 0)."""
+    T, d = y.shape[0], m0.shape[-1]
+    p = y.shape[1]
+    dtype = U0.dtype
+    y0 = jnp.where(mask > 0, jnp.nan_to_num(y), 0.0)
+    Hm = mask[..., :, None] * H  # [T, p, d]
+    Rs_m = (
+        mask[..., :, None] * R_sqrt * mask[..., None, :]
+        + jnp.eye(p, dtype=dtype) * (1.0 - mask)[..., None, :]
+        * jnp.eye(p, dtype=dtype)
+    )
+    # identity filler on the diagonal for masked rows:
+    Rs_m = mask[..., :, None] * R_sqrt * mask[..., None, :] + jnp.einsum(
+        "tp,pq->tpq", 1.0 - mask, jnp.eye(p, dtype=dtype)
+    )
+
+    # local prior sqrt: generic steps Qs_k; first step tria([A0 U0, Qs_0])
+    Up_loc = Q_sqrt.at[0].set(
+        tria(jnp.concatenate([A[0] @ U0, Q_sqrt[0]], axis=-1))
+    )
+    m_loc = jnp.zeros((T, d), dtype).at[0].set(A[0] @ m0)
+
+    HU = jnp.einsum("tpi,tij->tpj", Hm, Up_loc)  # [T, p, d]
+    pre = jnp.concatenate(
+        [
+            jnp.concatenate([HU, Rs_m], axis=-1),
+            jnp.concatenate(
+                [Up_loc, jnp.zeros((T, d, p), dtype)], axis=-1
+            ),
+        ],
+        axis=-2,
+    )  # [T, p+d, d+p]
+    Tm = tria(pre)
+    S_sqrt = Tm[:, :p, :p]
+    KS = Tm[:, p:, :p]  # = K S^1/2
+    U_out = Tm[:, p:, p:]
+
+    v = y0 - jnp.einsum("tpj,tj->tp", Hm, m_loc)
+    Sv = _solve_tri(S_sqrt, v[..., None])[..., 0]  # S^-1/2 v
+    b_out = m_loc + jnp.einsum("tip,tp->ti", KS, Sv)
+    # K = KS S^-1/2; A' = A - K Hm A
+    KH = jnp.einsum(
+        "tip,tpj->tij",
+        KS,
+        _solve_tri(S_sqrt, Hm),
+    )
+    A_out = A - jnp.einsum("tij,tjk->tik", KH, A)
+
+    # eta = A^T Hm^T S^-1 v ; Z = tria(A^T Hm^T S^-T)
+    SinvT_v = _solve_tri(
+        jnp.swapaxes(S_sqrt, -1, -2), Sv[..., None], lower=False
+    )[..., 0]
+    eta = jnp.einsum("tji,tpj,tp->ti", A, Hm, SinvT_v)
+    HtSmT = jnp.einsum(
+        "tpj,tpq->tjq", Hm, jnp.swapaxes(_solve_tri(S_sqrt, jnp.broadcast_to(
+            jnp.eye(p, dtype=dtype), (T, p, p))), -1, -2)
+    )  # A^T H^T S^-T precursor: H^T S^-T [T, d, p]
+    Z = tria(jnp.einsum("tji,tjq->tiq", A, HtSmT))
+
+    # first element: A = 0, eta = 0, Z = 0 (prior folded into b, U)
+    A_out = A_out.at[0].set(jnp.zeros((d, d), dtype))
+    eta = eta.at[0].set(jnp.zeros((d,), dtype))
+    Z = Z.at[0].set(jnp.zeros((d, d), dtype))
+    return _SqrtFilterElems(A=A_out, b=b_out, U=U_out, eta=eta, Z=Z)
+
+
+def _sqrt_filtering_operator(e1, e2):
+    """Associative combine in square-root form (e1 earlier, e2 later)."""
+    d = e1.A.shape[-1]
+    dtype = e1.A.dtype
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
+    G = jnp.einsum("...ji,...jk->...ik", e1.U, e2.Z)  # U1^T Z2 [d, d]
+    Xi = tria(jnp.concatenate([G, eye], axis=-1))  # chol(I + G G^T)
+    Lam = tria(jnp.concatenate([jnp.swapaxes(G, -1, -2), eye], axis=-1))
+    # W1 = U1 Xi^-T  (right-solve)
+    W1 = jnp.swapaxes(
+        _solve_tri(Xi, jnp.swapaxes(e1.U, -1, -2), lower=True), -1, -2
+    )
+    # V2 = Z2 Lam^-T
+    V2 = jnp.swapaxes(
+        _solve_tri(Lam, jnp.swapaxes(e2.Z, -1, -2), lower=True), -1, -2
+    )
+
+    # A = A2 A1 - (A2 W1) (Xi^-1 G) (Z2^T A1)
+    XiG = _solve_tri(Xi, G)
+    A2W1 = jnp.einsum("...ij,...jk->...ik", e2.A, W1)
+    Z2tA1 = jnp.einsum("...ji,...jk->...ik", e2.Z, e1.A)
+    A = jnp.einsum("...ij,...jk->...ik", e2.A, e1.A) - jnp.einsum(
+        "...ij,...jk,...kl->...il", A2W1, XiG, Z2tA1
+    )
+
+    # b = b2 + A2 (u - W1 Xi^-1 G Z2^T u),  u = b1 + U1 U1^T eta2
+    u = e1.b + jnp.einsum(
+        "...ij,...kj,...k->...i", e1.U, e1.U, e2.eta
+    )
+    Gz = jnp.einsum("...ij,...kj,...k->...i", XiG, e2.Z, u)  # Xi^-1 G Z2^T u
+    b = e2.b + jnp.einsum(
+        "...ij,...j->...i", e2.A, u - jnp.einsum("...ij,...j->...i", W1, Gz)
+    )
+
+    U = tria(jnp.concatenate([A2W1, e2.U], axis=-1))
+
+    # eta = eta1 + A1^T (w - Z2 Lam^-T Lam^-1 G^T U1^T w), w = eta2 - Z2 Z2^T b1
+    w = e2.eta - jnp.einsum("...ij,...kj,...k->...i", e2.Z, e2.Z, e1.b)
+    GtU1tw = jnp.einsum("...ji,...kj,...k->...i", G, e1.U, w)  # G^T U1^T w
+    corr = jnp.einsum(
+        "...ij,...j->...i",
+        V2,
+        _solve_tri(Lam, GtU1tw[..., None])[..., 0],
+    )
+    eta = e1.eta + jnp.einsum("...ji,...j->...i", e1.A, w - corr)
+
+    Z = tria(
+        jnp.concatenate(
+            [jnp.einsum("...ji,...jk->...ik", e1.A, V2), e1.Z], axis=-1
+        )
+    )
+    return _SqrtFilterElems(A=A, b=b, U=U, eta=eta, Z=Z)
+
+
+def _per_step_lml_sqrt(A, Q_sqrt, H, R_sqrt, y, mask, ms, m0, U0, Us):
+    """Post-hoc per-step lml from sqrt predictive factors."""
+    T, d = ms.shape
+    p = y.shape[1]
+    dtype = Us.dtype
+    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
+    U_prev = jnp.concatenate([U0[None], Us[:-1]], axis=0)
+    m_pred = jnp.einsum("tij,tj->ti", A, m_prev)
+    Up = tria(
+        jnp.concatenate(
+            [jnp.einsum("tij,tjk->tik", A, U_prev), Q_sqrt], axis=-1
+        )
+    )
+    Hm = mask[..., :, None] * H
+    Rs_m = mask[..., :, None] * R_sqrt * mask[..., None, :] + jnp.einsum(
+        "tp,pq->tpq", 1.0 - mask, jnp.eye(p, dtype=dtype)
+    )
+    S_sqrt = tria(
+        jnp.concatenate(
+            [jnp.einsum("tpi,tij->tpj", Hm, Up), Rs_m], axis=-1
+        )
+    )
+    y0 = jnp.where(mask > 0, jnp.nan_to_num(y), 0.0)
+    v = y0 - jnp.einsum("tpj,tj->tp", Hm, m_pred)
+    alpha = _solve_tri(S_sqrt, v[..., None])[..., 0]
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(S_sqrt, axis1=-2, axis2=-1))), -1
+    )
+    n_obs = jnp.sum(mask, -1)
+    return -0.5 * (jnp.sum(alpha * alpha, -1) + logdet + n_obs * _LOG2PI)
+
+
+@highest_precision
+def parallel_sqrt_kalman_filter(
+    A, Q_sqrt, H, R_sqrt, y, m0, P0_sqrt, mask=None,
+    chunk_size: int | None = None,
+) -> FilterResult:
+    """Parallel-scan square-root filter. Ps in the result are SQRT factors."""
+    T = y.shape[0]
+    if mask is None:
+        mask = observation_mask(y, P0_sqrt.dtype)
+    H_steps = jnp.broadcast_to(H, (T,) + H.shape[-2:]) if H.ndim == 2 else H
+
+    if chunk_size is None or chunk_size >= T:
+        elems = _build_sqrt_elements(
+            A, Q_sqrt, H_steps, R_sqrt, y, mask, m0, P0_sqrt
+        )
+        scanned = jax.lax.associative_scan(_sqrt_filtering_operator, elems)
+        ms, Us = scanned.b, scanned.U
+    else:
+        assert T % chunk_size == 0, "T must be divisible by chunk_size"
+        n_chunks = T // chunk_size
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:]),
+            (A, Q_sqrt, H_steps, R_sqrt, y, mask),
+        )
+
+        def chunk_step(carry, inputs):
+            m_prev, U_prev = carry
+            A_c, Qs_c, H_c, Rs_c, y_c, mask_c = inputs
+            elems = _build_sqrt_elements(
+                A_c, Qs_c, H_c, Rs_c, y_c, mask_c, m_prev, U_prev
+            )
+            inner = jax.lax.associative_scan(_sqrt_filtering_operator, elems)
+            return (inner.b[-1], inner.U[-1]), (inner.b, inner.U)
+
+        _, (ms, Us) = jax.lax.scan(chunk_step, (m0, P0_sqrt), chunked)
+        ms = ms.reshape((T,) + ms.shape[2:])
+        Us = Us.reshape((T,) + Us.shape[2:])
+
+    lmls = _per_step_lml_sqrt(
+        A, Q_sqrt, H_steps, R_sqrt, y, mask, ms, m0, P0_sqrt, Us
+    )
+    return FilterResult(ms=ms, Ps=Us, lml=jnp.sum(lmls), lmls=lmls)
+
+
+class _SqrtSmootherElems(NamedTuple):
+    E: jnp.ndarray  # [T, d, d]
+    g: jnp.ndarray  # [T, d]
+    D: jnp.ndarray  # [T, d, d]  L = D D^T
+
+
+def _sqrt_smoothing_operator(ej, ei):
+    """Reverse-scan combine (ej later-suffix, ei earlier): sqrt form."""
+    E = jnp.einsum("...ij,...jk->...ik", ei.E, ej.E)
+    g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
+    D = tria(
+        jnp.concatenate(
+            [jnp.einsum("...ij,...jk->...ik", ei.E, ej.D), ei.D], axis=-1
+        )
+    )
+    return _SqrtSmootherElems(E=E, g=g, D=D)
+
+
+@highest_precision
+def parallel_sqrt_rts_smoother(
+    A, Q_sqrt, filtered: FilterResult, chunk_size: int | None = None
+) -> SmootherResult:
+    """Parallel-scan sqrt smoother; filtered.Ps must be sqrt factors.
+    Returns Ps as SQRT factors."""
+    ms, Us = filtered.ms, filtered.Ps
+    T, d = ms.shape
+    dtype = Us.dtype
+
+    A_next, Qs_next = A[1:], Q_sqrt[1:]
+    U_f, m_f = Us[:-1], ms[:-1]
+    # pre-array per step: [[A U, Qs], [U, 0]] -> Pp^1/2, G Pp^1/2, Y22
+    pre = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [jnp.einsum("tij,tjk->tik", A_next, U_f), Qs_next], axis=-1
+            ),
+            jnp.concatenate(
+                [U_f, jnp.zeros((T - 1, d, d), dtype)], axis=-1
+            ),
+        ],
+        axis=-2,
+    )
+    Tm = tria(pre)
+    Pp_sqrt = Tm[:, :d, :d]
+    GP = Tm[:, d:, :d]
+    Y22 = Tm[:, d:, d:]
+    G = jnp.swapaxes(
+        _solve_tri(
+            jnp.swapaxes(Pp_sqrt, -1, -2), jnp.swapaxes(GP, -1, -2),
+            lower=False,
+        ),
+        -1,
+        -2,
+    )
+    m_pred = jnp.einsum("tij,tj->ti", A_next, m_f)
+    g = m_f - jnp.einsum("tij,tj->ti", G, m_pred)
+
+    E = jnp.concatenate([G, jnp.zeros((1, d, d), dtype)], axis=0)
+    g = jnp.concatenate([g, ms[-1:]], axis=0)
+    D = jnp.concatenate([Y22, Us[-1:]], axis=0)
+    elems = _SqrtSmootherElems(E=E, g=g, D=D)
+
+    if chunk_size is None or chunk_size >= T:
+        scanned = jax.lax.associative_scan(
+            _sqrt_smoothing_operator, elems, reverse=True
+        )
+    else:
+        assert T % chunk_size == 0
+        n_chunks = T // chunk_size
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:]), elems
+        )
+
+        def chunk_step(carry, chunk_elems):
+            inner = jax.lax.associative_scan(
+                _sqrt_smoothing_operator, chunk_elems, reverse=True
+            )
+            combined = _sqrt_smoothing_operator(
+                jax.tree_util.tree_map(lambda x: x[None], carry), inner
+            )
+            first = jax.tree_util.tree_map(lambda x: x[0], combined)
+            return first, combined
+
+        init = _SqrtSmootherElems(
+            E=jnp.eye(d, dtype=dtype),
+            g=jnp.zeros((d,), dtype),
+            D=jnp.zeros((d, d), dtype),
+        )
+        _, scanned = jax.lax.scan(chunk_step, init, chunked, reverse=True)
+        scanned = jax.tree_util.tree_map(
+            lambda x: x.reshape((T,) + x.shape[2:]), scanned
+        )
+    Gs = jnp.concatenate([E[:-1], jnp.zeros((1, d, d), dtype)], axis=0)
+    return SmootherResult(ms=scanned.g, Ps=scanned.D, Gs=Gs)

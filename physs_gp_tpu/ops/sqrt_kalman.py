@@ -1,0 +1,194 @@
+"""Square-root Kalman filtering/smoothing (QR-based, fp32-robust).
+
+TPU-native counterpart of the reference's SVD square-root filter
+(`computation/filters/square_root_kalman_filter.py:67-210`) — but QR/array
+form rather than SVD: covariances are carried as lower-triangular square
+roots, every propagation is a `tria` (QR of the transposed pre-array), and no
+subtraction of PSD matrices ever happens, so factors stay exactly PSD in
+fp32. This is the default robust path on TPU where fp32 covariance-form
+recursions with tight observation noise go indefinite (the reference falls
+back to fp64 solves instead — not an option on TPU).
+
+Conventions: tria(B [d, m]) = lower-triangular L [d, d] with L L^T = B B^T
+(columns zero-padded when m < d). Masked missing data uses the same
+fixed-shape (masked H rows + identity filler) algebra as the dense filters.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .gaussian import mask_covariance
+from .kalman import FilterResult, SmootherResult, observation_mask
+from .matrix import highest_precision, symmetrize
+
+__all__ = ["tria", "psd_sqrt", "sqrt_kalman_filter", "sqrt_rts_smoother"]
+
+_LOG2PI = jnp.log(2.0 * jnp.pi)
+
+
+def tria(B: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular L [.., d, d] with L L^T ≈ B B^T, B [.., d, m].
+
+    A tiny RELATIVE identity block is appended before the QR: rank-deficient
+    pre-arrays (padded factors, exactly-zero elements) otherwise give NaN in
+    the QR gradient (it solves against R's diagonal). The perturbation adds
+    O(eps^2) = 1e-12 relative to the reconstructed covariance — far below
+    fp32 resolution — and makes every tria differentiable.
+    """
+    d, m = B.shape[-2], B.shape[-1]
+    fp32 = jnp.dtype(B.dtype).itemsize < 8
+    eps = 1e-6 if fp32 else 1e-9
+    # floor INSIDE the sqrt: d(sqrt)/dB is infinite at B = 0 otherwise.
+    # The floor must not underflow in the working dtype (1e-60 -> 0 in fp32
+    # silently reintroduces the NaN gradient).
+    floor = 1e-24 if fp32 else 1e-60
+    scale = jnp.sqrt(jnp.sum(B * B, axis=(-1, -2), keepdims=True) / d + floor)
+    # exactly-zero pre-arrays (zeroed first-element factors propagate as
+    # exact zeros through combines): bypass the QR entirely — its gradient
+    # is NaN for rank-0 input regardless of regularisation (double-where).
+    is_zero = scale <= 2.0 * jnp.sqrt(jnp.asarray(floor, B.dtype))
+    reg = eps * scale * jnp.broadcast_to(
+        jnp.eye(d, dtype=B.dtype), B.shape[:-1] + (d,)
+    )
+    B_reg = jnp.concatenate([B, reg], axis=-1)
+    B_safe = jnp.where(
+        is_zero,
+        jnp.broadcast_to(
+            jnp.concatenate(
+                [jnp.eye(d, dtype=B.dtype), jnp.zeros((d, m), B.dtype)],
+                axis=-1,
+            ),
+            B_reg.shape,
+        ),
+        B_reg,
+    )
+    q, r = jnp.linalg.qr(jnp.swapaxes(B_safe, -1, -2), mode="reduced")
+    L = jnp.swapaxes(r, -1, -2)
+    # fix signs so the diagonal is non-negative (canonical factor)
+    sign = jnp.sign(jnp.diagonal(L, axis1=-2, axis2=-1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return jnp.where(is_zero, 0.0, L * sign[..., None, :])
+
+
+def psd_sqrt(A: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvalue-clipped symmetric square root (handles exactly-singular
+    matrices like Q(dt=0) = 0 that Cholesky cannot)."""
+    w, V = jnp.linalg.eigh(symmetrize(A))
+    w = jnp.sqrt(jnp.clip(w, 0.0, None))
+    return jnp.einsum("...ij,...j->...ij", V, w)
+
+
+def _solve_tri(L, B, lower=True):
+    return jax.scipy.linalg.solve_triangular(L, B, lower=lower)
+
+
+def _masked_parts(H, R, y, mask):
+    Hm = mask[..., :, None] * H
+    Rm = mask_covariance(R, mask)
+    y0 = jnp.where(mask > 0, jnp.nan_to_num(y), 0.0)
+    return Hm, Rm, y0
+
+
+def _sqrt_update(m_pred, Up, Hm, Rm_sqrt, y0, mask):
+    """Square-root measurement update via one block tria.
+
+    pre-array [[Hm Up, Rm^1/2], [Up, 0]] -> [[S^1/2, 0], [K S^1/2, U]]
+    """
+    d = m_pred.shape[-1]
+    p = y0.shape[-1]
+    dtype = Up.dtype
+    HU = Hm @ Up
+    pre = jnp.block(
+        [
+            [HU, Rm_sqrt],
+            [Up, jnp.zeros((d, p), dtype)],
+        ]
+    )
+    T = tria(pre)
+    S_sqrt = T[:p, :p]
+    KS = T[p:, :p]
+    U = T[p:, p:]
+    v = y0 - Hm @ m_pred
+    m = m_pred + KS @ _solve_tri(S_sqrt, v)
+    n_obs = jnp.sum(mask)
+    alpha = _solve_tri(S_sqrt, v)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diag(S_sqrt))))
+    lml = -0.5 * (jnp.sum(alpha * alpha) + logdet + n_obs * _LOG2PI)
+    return m, U, lml
+
+
+@highest_precision
+def sqrt_kalman_filter(A, Q_sqrt, H, R_sqrt, y, m0, P0_sqrt, mask=None, R=None):
+    """Sequential square-root filter.
+
+    A [T,d,d]; Q_sqrt [T,d,d] (psd_sqrt of Q); H [p,d]; R_sqrt [T,p,p]
+    (Cholesky of R); y [T,p]. Returns FilterResult where Ps are SQUARE ROOTS
+    (lower-triangular factors), not covariances.
+    """
+    T = y.shape[0]
+    if mask is None:
+        mask = observation_mask(y, P0_sqrt.dtype)
+    H_steps = jnp.broadcast_to(H, (T,) + H.shape[-2:]) if H.ndim == 2 else H
+
+    def step(carry, inp):
+        m_prev, U_prev = carry
+        A_k, Qs_k, H_k, Rs_k, y_k, mask_k = inp
+        m_pred = A_k @ m_prev
+        Up = tria(jnp.concatenate([A_k @ U_prev, Qs_k], axis=-1))
+        Hm = mask_k[:, None] * H_k
+        # masked R sqrt: zero masked rows/cols, unit diagonal filler
+        Rs_m = mask_k[:, None] * Rs_k * mask_k[None, :] + jnp.diag(1.0 - mask_k)
+        y0 = jnp.where(mask_k > 0, jnp.nan_to_num(y_k), 0.0)
+        m, U, lml_k = _sqrt_update(m_pred, Up, Hm, Rs_m, y0, mask_k)
+        return (m, U), (m, U, lml_k)
+
+    (_, _), (ms, Us, lmls) = jax.lax.scan(
+        step, (m0, P0_sqrt), (A, Q_sqrt, H_steps, R_sqrt, y, mask)
+    )
+    return FilterResult(ms=ms, Ps=Us, lml=jnp.sum(lmls), lmls=lmls)
+
+
+@highest_precision
+def sqrt_rts_smoother(A, Q_sqrt, filtered: FilterResult) -> SmootherResult:
+    """Square-root RTS smoother; filtered.Ps are sqrt factors. Returns
+    SmootherResult with Ps as SQUARE ROOTS."""
+    ms, Us = filtered.ms, filtered.Ps
+    d = ms.shape[-1]
+    dtype = Us.dtype
+
+    def step(carry, inp):
+        m_next_s, D_next = carry
+        m_f, U_f, A_next, Qs_next = inp
+        # pre-array [[A U_f, Qs], [U_f, 0]] -> [[Pp^1/2,0],[G Pp^1/2, Y22]]
+        pre = jnp.block(
+            [
+                [A_next @ U_f, Qs_next],
+                [U_f, jnp.zeros((d, d), dtype)],
+            ]
+        )
+        Tm = tria(pre)
+        Pp_sqrt = Tm[:d, :d]
+        GP = Tm[d:, :d]
+        Y22 = Tm[d:, d:]
+        # GP = G Pp^1/2  =>  G = GP (Pp^1/2)^-1 ; right-solve via transpose:
+        G = jax.scipy.linalg.solve_triangular(
+            Pp_sqrt.T, GP.T, lower=False
+        ).T
+        m_pred = A_next @ m_f
+        m_s = m_f + G @ (m_next_s - m_pred)
+        D = tria(jnp.concatenate([Y22, G @ D_next], axis=-1))
+        return (m_s, D), (m_s, D, G)
+
+    (_, _), (ms_s, Ds, Gs) = jax.lax.scan(
+        step,
+        (ms[-1], Us[-1]),
+        (ms[:-1], Us[:-1], A[1:], Q_sqrt[1:]),
+        reverse=True,
+    )
+    ms_out = jnp.concatenate([ms_s, ms[-1:]], axis=0)
+    Ds_out = jnp.concatenate([Ds, Us[-1:]], axis=0)
+    Gs_out = jnp.concatenate([Gs, jnp.zeros((1, d, d), dtype)], axis=0)
+    return SmootherResult(ms=ms_out, Ps=Ds_out, Gs=Gs_out)

@@ -1,1 +1,2 @@
 from .trainer import AdamTrainer, NatGradTrainer, VB_NG_Adam, lr_schedule
+from .extra import LBFGSTrainer, SwitchTrainer, VB_NG_LBFGS

@@ -105,16 +105,109 @@ class LinearOperatorHead(Head):
 
 @module
 class StateObservation:
-    """Observation matrix builder: one row per head, H [n_heads, d_state].
+    """Observation matrix builder: H [n_obs, d_state] stacked from heads.
 
     Plugs into StateSpaceGP/CVIGP via their `observation` field, replacing the
-    kernel's default H = "observe f"."""
+    kernel's default H = "observe f". Heads contribute one row (`row`) or a
+    block of rows (`rows`, e.g. spatial heads over many points)."""
 
     heads: list = field(default_factory=list)
 
     def H(self, kernel) -> jnp.ndarray:
-        return jnp.stack([h.row(kernel) for h in self.heads])
+        blocks = []
+        for h in self.heads:
+            if hasattr(h, "rows"):
+                blocks.append(h.rows(kernel))
+            else:
+                blocks.append(h.row(kernel)[None, :])
+        return jnp.concatenate(blocks, axis=0)
 
     @property
     def n_heads(self) -> int:
         return len(self.heads)
+
+
+# ---------------------------------------------------------------------------
+# Spatio-temporal heads: spatial functionals x temporal derivatives.
+# ---------------------------------------------------------------------------
+
+
+def s_identity(k, s, z):
+    return k(s, z)
+
+
+def s_grad(i: int):
+    """Row of ∂k_s/∂s_i in the first argument (curl-free / advection terms)."""
+    import jax
+
+    def op(k, s, z):
+        return jax.grad(lambda ss: k(ss, z))(s)[i]
+
+    return op
+
+
+def s_laplacian(k, s, z):
+    """Σ_i ∂²k_s/∂s_i² in the first argument (diffusion terms).
+
+    The autodiff-of-kernel construction is the reference's derivative-kernel
+    idea (`kernels/diff_op.py:12`), applied only to the k(s*, Z) cross rows.
+    """
+    import jax
+
+    return jnp.trace(jax.hessian(lambda ss: k(ss, z))(s))
+
+
+@module
+class SpatialHead(Head):
+    """Observe (L_s ∂_t^order f)(s_k, t) for spatial points `points`.
+
+    row block = w ⊗ t_row with w = (L_s k_s)(s, Z) Kzz^{-1} (the Kronecker
+    spatial conditional) and t_row the temporal derivative selector. Data on
+    the grid uses points == Z (w == I numerically)."""
+
+    points: jnp.ndarray  # [N_h, ds]
+    t_order: int = static(default=0)
+    s_op: object = static(default=None)
+
+    def rows(self, kernel) -> jnp.ndarray:
+        w = kernel.spatial_weights(self.points, self.s_op)  # [N_h, Ns]
+        t_row = derivative_row(kernel.k_time, self.t_order)  # [d]
+        N_h, Ns = w.shape
+        return jnp.einsum("ns,d->nsd", w, t_row).reshape(N_h, Ns * t_row.shape[0])
+
+
+@module
+class OperatorTerm:
+    """One c · (L_s ∂_t^order f) term; coeff may be a trainable Param."""
+
+    coeff: object  # Param or plain scalar (data leaf)
+    t_order: int = static(default=0)
+    s_op: object = static(default=None)  # spatial operator (static callable)
+
+
+@module
+class STOperatorHead(Head):
+    """PDE residual rows: sum_j c_j (L_s^j ∂_t^{o_j} f)(s_k, t) = 0.
+
+    E.g. 2D advection-diffusion ∂t f - a Δf + v·∇f = 0:
+      terms = [OperatorTerm(1.0, t_order=1),
+               OperatorTerm(-a, s_op=s_laplacian),
+               OperatorTerm(vx, s_op=s_grad(0)),
+               OperatorTerm(vy, s_op=s_grad(1))].
+    """
+
+    points: jnp.ndarray  # [N_c, ds] collocation points
+    terms: list = field(default_factory=list)
+
+    def rows(self, kernel) -> jnp.ndarray:
+        out = None
+        for term in self.terms:
+            c = term.coeff
+            cv = c.value if hasattr(c, "value") else c
+            w = kernel.spatial_weights(self.points, term.s_op)  # [N_c, Ns]
+            t_row = derivative_row(kernel.k_time, term.t_order)  # [d]
+            block = jnp.einsum("ns,d->nsd", w, t_row).reshape(
+                w.shape[0], w.shape[1] * t_row.shape[0]
+            )
+            out = cv * block if out is None else out + cv * block
+        return out

@@ -1,0 +1,150 @@
+"""Zoo: spatio-temporal model recipes.
+
+Counterpart of the reference's ST recipes in `zoo/sde_diff.py` (the separable
+kron ST prior + SpatialSparsity) and the `gps.py` ST baselines:
+
+- `st_gp`: Kronecker spatio-temporal GP regression on gridded sensor data
+  (BASELINE config 4).
+- `advection_diffusion_gp`: physics-informed ST GP for the linear PDE
+  ∂t f = a Δf - v·∇f  enforced at spatial collocation points for every time
+  step (BASELINE config 5 — 2D advection-diffusion/heat).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.matern import Matern32
+from ..kernels.rbf import RBF
+from ..kernels.spatio_temporal import SpatioTemporalKernel
+from ..likelihoods.gaussian import Gaussian, IndependentGaussian
+from ..models.stgp import SpatioTemporalGP
+from ..transforms.operators import (
+    OperatorTerm,
+    STOperatorHead,
+    s_grad,
+    s_laplacian,
+)
+from ..utils.params import Param, positive_param
+
+__all__ = ["st_gp", "advection_diffusion_gp"]
+
+
+def _param(v, fixed=False):
+    if isinstance(v, Param):
+        return v
+    p = positive_param(v)
+    return p.fix() if fixed else p
+
+
+def st_gp(
+    t,
+    Y_grid,
+    Z,
+    k_time=None,
+    k_space=None,
+    noise: float = 0.1,
+    dtype=jnp.float64,
+    parallel: bool = False,
+    sqrt: bool = False,
+    chunk_size=None,
+) -> SpatioTemporalGP:
+    """Separable ST GP on a time x sites grid (NaN = missing)."""
+    Ns = np.asarray(Z).shape[0]
+    kern = SpatioTemporalKernel(
+        k_time=k_time or Matern32(lengthscale=1.0, variance=1.0),
+        k_space=k_space or RBF(),
+        Z=jnp.asarray(Z, dtype),
+    )
+    lik = _grid_gaussian(noise, Ns)
+    return SpatioTemporalGP.build(
+        t=jnp.asarray(t, dtype),
+        Y_grid=jnp.asarray(Y_grid, dtype),
+        st_kernel=kern,
+        likelihood=lik,
+        parallel=parallel,
+        sqrt=sqrt,
+        chunk_size=chunk_size,
+    )
+
+
+def _grid_gaussian(noise, Ns, extra=()):
+    """IndependentGaussian with one shared Param across Ns grid heads plus
+    per-extra-head fixed variances."""
+    shared = _param(noise)
+    return IndependentGaussian(
+        variances=[shared] * Ns + [_param(v, fixed=True) for v in extra]
+    )
+
+
+def advection_diffusion_gp(
+    t,
+    Y_grid,
+    Z,
+    coll_points,
+    diffusivity,
+    velocity=None,
+    k_time=None,
+    k_space=None,
+    noise: float = 0.1,
+    coll_noise: float = 1e-4,
+    dtype=jnp.float64,
+    parallel: bool = False,
+    sqrt: bool = False,
+    chunk_size=None,
+) -> SpatioTemporalGP:
+    """Physics-informed ST GP: ∂t f - a Δf + v·∇f = 0 at `coll_points`.
+
+    diffusivity / velocity components may be trainable Params (unknown
+    physics). Residual rows are exact linear functionals of the Kron state —
+    both sequential and parallel scans stay exact (no EKF linearisation).
+    """
+    Z = jnp.asarray(Z, dtype)
+    Ns = Z.shape[0]
+    coll_points = jnp.asarray(np.atleast_2d(coll_points), dtype)
+    Nc = coll_points.shape[0]
+    ds = Z.shape[1]
+    kern = SpatioTemporalKernel(
+        k_time=k_time or Matern32(lengthscale=1.0, variance=1.0),
+        k_space=k_space or RBF(),
+        Z=Z,
+    )
+    a = diffusivity
+    neg_a = NegParam(base=a) if isinstance(a, Param) else -a
+    terms = [
+        OperatorTerm(coeff=1.0, t_order=1),
+        OperatorTerm(coeff=neg_a, s_op=s_laplacian),
+    ]
+    if velocity is not None:
+        for i in range(ds):
+            v_i = velocity[i]
+            terms.append(OperatorTerm(coeff=v_i, s_op=s_grad(i)))
+    head = STOperatorHead(points=coll_points, terms=terms)
+    T = np.asarray(t).shape[0]
+    extra_Y = jnp.zeros((T, Nc), dtype)
+    lik = _grid_gaussian(noise, Ns, extra=[coll_noise] * Nc)
+    return SpatioTemporalGP.build(
+        t=jnp.asarray(t, dtype),
+        Y_grid=jnp.asarray(Y_grid, dtype),
+        st_kernel=kern,
+        likelihood=lik,
+        extra_heads=[head],
+        extra_Y=extra_Y,
+        parallel=parallel,
+        sqrt=sqrt,
+        chunk_size=chunk_size,
+    )
+
+
+from ..utils.struct import module as _module
+
+
+@_module
+class NegParam:
+    """View of a positive Param as its negation (for -a Δf terms)."""
+
+    base: Param
+
+    @property
+    def value(self):
+        return -self.base.value

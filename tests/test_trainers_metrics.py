@@ -1,0 +1,91 @@
+"""Trainers, metrics, checkpointing gates."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physs_gp_tpu.kernels import Matern32
+from physs_gp_tpu.likelihoods import Gaussian, Poisson
+from physs_gp_tpu.metrics import confidence_interval, gaussian_nlpd, nlpd_quadrature, rmse
+from physs_gp_tpu.models import CVIGP, StateSpaceGP
+from physs_gp_tpu.trainers import LBFGSTrainer, VB_NG_LBFGS
+from physs_gp_tpu.utils import load_model, save_model
+from physs_gp_tpu.utils.params import positive_param
+
+
+def _model(seed=0, T=80):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 6, T))
+    y = np.sin(2 * t) + 0.1 * rng.normal(size=T)
+    return StateSpaceGP(
+        t=jnp.asarray(t), Y=jnp.asarray(y)[:, None],
+        kernel=Matern32(lengthscale=2.0, variance=0.5),
+        likelihood=Gaussian(positive_param(0.5)),
+    )
+
+
+def test_lbfgs_trainer_converges():
+    m = _model()
+    tr = LBFGSTrainer(m)
+    m2, losses = tr.train(m, 40)
+    assert losses[-1] < losses[0] - 20
+    # learned noise should approach the true 0.01 variance
+    assert float(m2.likelihood.variance.value) < 0.1
+
+
+def test_vb_ng_lbfgs_on_poisson():
+    rng = np.random.default_rng(1)
+    T = 60
+    t = np.sort(rng.uniform(0, 6, T))
+    y = rng.poisson(np.exp(1.1 * np.sin(t)))
+    m = CVIGP.init(jnp.asarray(t), jnp.asarray(y * 1.0)[:, None],
+                   Matern32(lengthscale=2.0), Poisson())
+    tr = VB_NG_LBFGS(m, ng_lr=0.8)
+    m2, losses = tr.train(m, 10)
+    assert losses[-1] < losses[0]
+
+
+def test_metrics():
+    y = jnp.asarray([1.0, 2.0, jnp.nan, 4.0])
+    mean = jnp.asarray([1.1, 2.2, 0.0, 3.8])
+    var = jnp.asarray([0.04, 0.04, 1.0, 0.04])
+    r = float(rmse(y, mean))
+    np.testing.assert_allclose(
+        r, np.sqrt((0.01 + 0.04 + 0.04) / 3), rtol=1e-6
+    )
+    n = float(gaussian_nlpd(y, mean, var))
+    assert np.isfinite(n)
+    # quadrature NLPD of a Gaussian likelihood == closed form
+    lik = Gaussian(positive_param(0.04))
+    nq = float(nlpd_quadrature(lik, y, mean, jnp.zeros_like(var) + 1e-12))
+    nc = float(gaussian_nlpd(y, mean, jnp.zeros_like(var) + 0.04))
+    np.testing.assert_allclose(nq, nc, rtol=1e-4)
+    lo, hi = confidence_interval(mean, var, 0.95)
+    np.testing.assert_allclose(hi - mean, 1.959964 * jnp.sqrt(var), rtol=1e-5)
+
+
+def test_checkpoint_roundtrip():
+    m = _model()
+    tr = LBFGSTrainer(m)
+    m2, _ = tr.train(m, 10)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        save_model(path, m2)
+        m3 = load_model(path, _model())
+        np.testing.assert_allclose(
+            m3.kernel.lengthscales.raw, m2.kernel.lengthscales.raw
+        )
+        np.testing.assert_allclose(
+            float(m3.log_marginal_likelihood()),
+            float(m2.log_marginal_likelihood()),
+            rtol=1e-12,
+        )
+        # wrong-structure template is rejected
+        import dataclasses
+
+        bad = dataclasses.replace(_model(), parallel=True)
+        with pytest.raises(ValueError):
+            load_model(path, bad)
