@@ -16,3 +16,4 @@ from .periodic import Periodic
 from .wiener import Wiener, WienerVelocity
 from .misc import RQ, ArcCosine, DeepKernel, Gibbs, SpectralMixture
 from .multi_output import LMC
+from .aggregated import AggregatedKernel, uniform_box_nodes

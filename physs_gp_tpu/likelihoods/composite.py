@@ -40,9 +40,11 @@ class NonlinearResidual:
     noise_var: Param = field(default_factory=lambda: positive_param(1e-3))
     fn: Callable = static(default=None)
     n_mc: int = static(default=32)
-    key: jnp.ndarray = field(
-        default_factory=lambda: jax.random.PRNGKey(0)
-    )
+    seed: int = static(default=0)  # static: uint32 key leaves break jax.grad
+
+    @property
+    def key(self):
+        return jax.random.PRNGKey(self.seed)
 
     def ell(self, mask, m, S):
         """mask: [T] 1.0 where the residual is enforced; m [T,p]; S [T,p,p]."""

@@ -4,3 +4,4 @@ from .stgp import SpatioTemporalGP
 from .batch_gp import BatchGP
 from .svgp import SVGP
 from .ekf_gp import NonlinearSSGP
+from .gprn import GPRN

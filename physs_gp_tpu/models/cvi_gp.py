@@ -22,7 +22,7 @@ from ..likelihoods.gaussian import BlockDiagonalGaussian
 from ..likelihoods.nongaussian import expected_log_lik
 from ..ops.lgssm import build_lgssm
 from ..ops.runner import run_filter_smoother
-from ..ops.matrix import diag_from_XDXT, log_det_from_chol, safe_cholesky, solve_lower
+from ..ops.matrix import cholesky_solve, diag_from_XDXT, log_det_from_chol, safe_cholesky, solve_lower
 from ..utils.struct import module, replace, static
 from .ssgp import GaussianMoments
 
@@ -95,7 +95,7 @@ class CVIGP:
         alpha = solve_lower(L, diff)[..., 0]
         maha = jnp.sum(alpha * alpha, -1)
         # tr(V^-1 S) = || L^-1 chol-ish ||; use solve against S
-        VinvS = jax.scipy.linalg.cho_solve((L, True), S)
+        VinvS = cholesky_solve(L, S)
         tr = jnp.trace(VinvS, axis1=-2, axis2=-1)
         p = self.sites.Y.shape[1]
         val = -0.5 * (p * _LOG2PI + log_det_from_chol(L) + maha + tr)

@@ -75,9 +75,34 @@ def symmetrize(A: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (A + jnp.swapaxes(A, -1, -2))
 
 
+def _cholesky_any(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky with closed-form n <= 2 fast paths.
+
+    XLA's batched Cholesky on [B, 1, 1] / [B, 2, 2] runs its generic blocked
+    loop — measured SECONDS at B ~ 1e5 where the closed form is a handful of
+    fused elementwise ops. Scalar filters (p = 1 sites) and Matern32 states
+    (d = 2) hit these shapes on every hot path.
+    """
+    n = A.shape[-1]
+    if n == 1:
+        return jnp.sqrt(A)
+    if n == 2:
+        a11 = A[..., 0, 0]
+        a21 = A[..., 1, 0]
+        a22 = A[..., 1, 1]
+        l11 = jnp.sqrt(a11)
+        l21 = a21 / l11
+        l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, 0.0))
+        z = jnp.zeros_like(l11)
+        return jnp.stack(
+            [jnp.stack([l11, z], -1), jnp.stack([l21, l22], -1)], -2
+        )
+    return jnp.linalg.cholesky(A)
+
+
 def safe_cholesky(A: jnp.ndarray, jitter: float | None = DEFAULT_JITTER) -> jnp.ndarray:
     """Cholesky of A + jitter*I, symmetrized first."""
-    return jnp.linalg.cholesky(add_jitter(symmetrize(A), jitter))
+    return _cholesky_any(add_jitter(symmetrize(A), jitter))
 
 
 def safe_cholesky_rel(A: jnp.ndarray, rel: float | None = None) -> jnp.ndarray:
@@ -93,24 +118,36 @@ def safe_cholesky_rel(A: jnp.ndarray, rel: float | None = None) -> jnp.ndarray:
     scale = jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), -1)
     eps = rel * scale + 1e-30  # absolute floor keeps chol(0) finite
     n = A.shape[-1]
-    return jnp.linalg.cholesky(
+    return _cholesky_any(
         symmetrize(A) + eps[..., None, None] * jnp.eye(n, dtype=A.dtype)
     )
 
 
 def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    n = L.shape[-1]
+    if n == 1:
+        return B / L[..., 0:1, 0:1]
+    if n == 2:
+        x0 = B[..., 0, :] / L[..., 0:1, 0]
+        x1 = (B[..., 1, :] - L[..., 1:2, 0] * x0) / L[..., 1:2, 1]
+        return jnp.stack([x0, x1], axis=-2)
     return solve_triangular(L, B, lower=True)
 
 
 def solve_upper(U: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    n = U.shape[-1]
+    if n == 1:
+        return B / U[..., 0:1, 0:1]
+    if n == 2:
+        x1 = B[..., 1, :] / U[..., 1:2, 1]
+        x0 = (B[..., 0, :] - U[..., 0:1, 1] * x1) / U[..., 0:1, 0]
+        return jnp.stack([x0, x1], axis=-2)
     return solve_triangular(U, B, lower=False)
 
 
 def cholesky_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Solve A X = B given L = chol(A) (lower)."""
-    return solve_triangular(
-        jnp.swapaxes(L, -1, -2), solve_triangular(L, B, lower=True), lower=False
-    )
+    return solve_upper(jnp.swapaxes(L, -1, -2), solve_lower(L, B))
 
 
 def mat_inv(A: jnp.ndarray, jitter: float = DEFAULT_JITTER) -> jnp.ndarray:

@@ -307,35 +307,37 @@ def parallel_sqrt_rts_smoother(
     D = jnp.concatenate([Y22, Us[-1:]], axis=0)
     elems = _SqrtSmootherElems(E=E, g=g, D=D)
 
+    # flip + forward scans (reverse=True is ~27x slower on TPU; see
+    # parallel_kalman.parallel_rts_smoother)
+    flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
     if chunk_size is None or chunk_size >= T:
-        scanned = jax.lax.associative_scan(
-            _sqrt_smoothing_operator, elems, reverse=True
-        )
+        scanned = jax.lax.associative_scan(_sqrt_smoothing_operator, flipped)
     else:
         assert T % chunk_size == 0
         n_chunks = T // chunk_size
         chunked = jax.tree_util.tree_map(
-            lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:]), elems
+            lambda x: x.reshape((n_chunks, chunk_size) + x.shape[1:]), flipped
         )
 
         def chunk_step(carry, chunk_elems):
             inner = jax.lax.associative_scan(
-                _sqrt_smoothing_operator, chunk_elems, reverse=True
+                _sqrt_smoothing_operator, chunk_elems
             )
             combined = _sqrt_smoothing_operator(
                 jax.tree_util.tree_map(lambda x: x[None], carry), inner
             )
-            first = jax.tree_util.tree_map(lambda x: x[0], combined)
-            return first, combined
+            last = jax.tree_util.tree_map(lambda x: x[-1], combined)
+            return last, combined
 
         init = _SqrtSmootherElems(
             E=jnp.eye(d, dtype=dtype),
             g=jnp.zeros((d,), dtype),
             D=jnp.zeros((d, d), dtype),
         )
-        _, scanned = jax.lax.scan(chunk_step, init, chunked, reverse=True)
+        _, scanned = jax.lax.scan(chunk_step, init, chunked)
         scanned = jax.tree_util.tree_map(
             lambda x: x.reshape((T,) + x.shape[2:]), scanned
         )
+    scanned = jax.tree_util.tree_map(lambda x: x[::-1], scanned)
     Gs = jnp.concatenate([E[:-1], jnp.zeros((1, d, d), dtype)], axis=0)
     return SmootherResult(ms=scanned.g, Ps=scanned.D, Gs=Gs)

@@ -145,3 +145,36 @@ def test_rq_sm_arccos_gibbs_deep_psd():
                 alpha=positive_param(1e6))
     rbf = RBF(lengthscales=positive_param(0.8), variance=positive_param(1.0))
     np.testing.assert_allclose(rq_big.K(X, X), rbf.K(X, X), rtol=1e-4)
+
+
+def test_aggregated_kernel_recovers_averages():
+    """Aggregated GP: observe box averages, infer the pointwise function."""
+    from physs_gp_tpu.kernels.aggregated import AggregatedKernel, uniform_box_nodes
+    from physs_gp_tpu.models.batch_gp import BatchGP
+    from physs_gp_tpu.utils.params import positive_param
+    from physs_gp_tpu.likelihoods import Gaussian
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    R = 16
+    lows = np.linspace(0, 4, R + 1)[:-1][:, None]
+    highs = lows + 4.0 / R
+    nodes, w = uniform_box_nodes(lows, highs, n_per_dim=8)
+    f = lambda x: np.sin(2 * x)
+    y = np.array([
+        np.mean(f(np.linspace(l[0], h[0], 200))) for l, h in zip(lows, highs)
+    ]) + 0.01 * rng.normal(size=R)
+    base = RBF(lengthscales=positive_param(0.7), variance=positive_param(1.0))
+    agg = AggregatedKernel(base=base, nodes=jnp.asarray(nodes), weights=jnp.asarray(w))
+    m = BatchGP(X=jnp.arange(R)[:, None] * 1.0, Y=jnp.asarray(y)[:, None],
+                kernel=agg, likelihood=Gaussian(positive_param(1e-4)))
+    lml = float(m.log_marginal_likelihood())
+    assert np.isfinite(lml)
+    # pointwise reconstruction via cross-covariances
+    Xs = np.linspace(0.2, 3.8, 30)[:, None]
+    Kxr = agg.cross_K(jnp.arange(R), jnp.asarray(Xs)).T  # [Ns, R]
+    Krr = agg.K(jnp.arange(R), jnp.arange(R)) + 1e-4 * jnp.eye(R)
+    alpha = jnp.linalg.solve(Krr, jnp.asarray(y))
+    f_rec = np.asarray(Kxr @ alpha)
+    rmse = float(np.sqrt(np.mean((f_rec - f(Xs[:, 0])) ** 2)))
+    assert rmse < 0.1, rmse

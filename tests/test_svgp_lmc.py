@@ -134,3 +134,25 @@ def test_svgp_natural_gradient_one_step_conjugate():
     pf, pe = m.predict_f(jnp.asarray(X)), exact.predict_f(jnp.asarray(X))
     np.testing.assert_allclose(pf.mean, pe.mean, atol=1e-6)
     np.testing.assert_allclose(pf.var, pe.var, atol=1e-6)
+
+
+def test_gprn_fits_signdependent_mixing():
+    """GPRN: output = w(x) * g(x) with a sign-flipping weight — LMC (constant
+    mixing) cannot represent this; GPRN must."""
+    from physs_gp_tpu.models import GPRN
+
+    rng = np.random.default_rng(7)
+    N = 60
+    X = np.sort(rng.uniform(-3, 3, N))[:, None]
+    w = np.tanh(X[:, 0])          # slowly varying mixing weight
+    g = np.sin(3 * X[:, 0])       # fast latent
+    Y = (w * g + 0.05 * rng.normal(size=N))[:, None]
+    m = GPRN.init(
+        X, Y, X[::2], kernel_w=RBF(lengthscales=positive_param(2.0)),
+        kernel_g=RBF(lengthscales=positive_param(0.6)),
+        n_latent=1, noise=0.0025, n_mc=8,
+    )
+    m, loss = _train(m, steps=800, lr=0.02)
+    pred = m.predict_f(jnp.asarray(X))
+    r = float(np.sqrt(np.mean((np.asarray(pred.mean[:, 0]) - w * g) ** 2)))
+    assert r < 0.15, r
