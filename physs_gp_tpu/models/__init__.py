@@ -5,3 +5,4 @@ from .batch_gp import BatchGP
 from .svgp import SVGP
 from .ekf_gp import NonlinearSSGP
 from .gprn import GPRN
+from .wrappers import LatentPredictor, MultiObjectiveModel

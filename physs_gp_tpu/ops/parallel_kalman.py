@@ -293,3 +293,28 @@ def parallel_rts_smoother(
     scanned = jax.tree_util.tree_map(lambda x: x[::-1], scanned)
     Gs = jnp.concatenate([E[:-1], jnp.zeros((1, d, d), dtype)], axis=0)
     return SmootherResult(ms=scanned.g, Ps=symmetrize(scanned.L), Gs=Gs)
+
+def prefix_combine(op, elems, length: int):
+    """Inclusive prefix combine (Hillis-Steele recursive doubling).
+
+    EXPERIMENTAL alternative to `jax.lax.associative_scan`: uses only
+    contiguous slices (no even/odd restructuring), measured ~5x faster in
+    isolated chunk benchmarks at d=32 — but the full T=100k graph built with
+    it crashes the TPU worker on the current runtime ("kernel fault"), so the
+    shipped filters stay on associative_scan. Revisit when the runtime
+    updates. op(a, b) combines a (earlier prefix) into b (current).
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    x = elems
+    k = 1
+    while k < length:
+        earlier = _jax.tree_util.tree_map(lambda a: a[:-k], x)
+        later = _jax.tree_util.tree_map(lambda a: a[k:], x)
+        comb = op(earlier, later)
+        x = _jax.tree_util.tree_map(
+            lambda full, c: _jnp.concatenate([full[:k], c]), x, comb
+        )
+        k *= 2
+    return x

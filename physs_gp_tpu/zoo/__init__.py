@@ -1,3 +1,4 @@
 from .physics import monotonic_cvi_gp, nonlinear_ode_cvi_gp, ode_gp
 from .spatio_temporal import advection_diffusion_gp, st_gp
 from .phi_ml import curl_free_gp, helmholtz_gp
+from .dynamics import latent_force_gp, lorenz_gp, lotka_volterra_gp
