@@ -2,3 +2,4 @@ from .gaussian import BlockDiagonalGaussian, Gaussian, IndependentGaussian, Like
 from .nongaussian import Bernoulli, Poisson, Probit, expected_log_lik
 from .composite import CompositeLikelihood, NonlinearResidual
 from .het_gaussian import HetGaussian
+from .nongaussian import LossLikelihood, Power

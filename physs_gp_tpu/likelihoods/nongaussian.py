@@ -140,3 +140,54 @@ def expected_log_lik(lik, y, m, v):
         val = -0.5 * (_LOG2PI + jnp.log(nv) + ((y0 - m) ** 2 + v) / nv)
         return _mask_nan(y, val)
     return lik.expected_log_lik(y, m, v)
+
+
+@module
+class Power(Likelihood):
+    """Power/Tweedie-style likelihood: y = f^power + Gaussian noise on the
+    transformed scale (ref `likelihood/power.py:7`)."""
+
+    power: float = static(default=2.0)
+    gh_points: int = static(default=20)
+
+    def log_prob(self, y, f):
+        mu = jnp.sign(f) * jnp.abs(f) ** self.power
+        return -0.5 * (_LOG2PI + (y - mu) ** 2)
+
+    def expected_log_lik(self, y, m, v):
+        y0 = jnp.nan_to_num(y)
+        val = expect_gh(
+            lambda ff: self.log_prob(y0[..., None], ff), m, v, self.gh_points
+        )
+        return _mask_nan(y, val)
+
+    def conditional_mean(self, f):
+        return jnp.sign(f) * jnp.abs(f) ** self.power
+
+    def conditional_variance(self, f):
+        return jnp.ones_like(f)
+
+
+@module
+class LossLikelihood(Likelihood):
+    """Arbitrary loss as a pseudo-likelihood: log p(y|f) = -loss(y, f)
+    (ref `likelihood/loss.py:5`); expectations by Gauss-Hermite."""
+
+    loss: object = static(default=None)  # (y, f) -> elementwise loss
+    gh_points: int = static(default=20)
+
+    def log_prob(self, y, f):
+        return -self.loss(y, f)
+
+    def expected_log_lik(self, y, m, v):
+        y0 = jnp.nan_to_num(y)
+        val = expect_gh(
+            lambda ff: -self.loss(y0[..., None], ff), m, v, self.gh_points
+        )
+        return _mask_nan(y, val)
+
+    def conditional_mean(self, f):
+        return f
+
+    def conditional_variance(self, f):
+        return jnp.ones_like(f)

@@ -53,3 +53,20 @@ def confidence_interval(mean, var, level: float = 0.95):
     z = jax.scipy.special.ndtri(0.5 + level / 2.0)
     sd = jnp.sqrt(var)
     return mean - z * sd, mean + z * sd
+
+
+def response_curve(model, X_grid, feature: int = 0, X_ref=None, gh_points: int = 20):
+    """1-D response curve: predictive mean/CI sweeping one input feature with
+    the others held at reference values (ref `metrics/response_curves.py`)."""
+    import numpy as np
+
+    X_grid = jnp.ravel(jnp.asarray(X_grid))
+    if X_ref is None:
+        Xs = X_grid[:, None]
+    else:
+        X_ref = jnp.ravel(jnp.asarray(X_ref))
+        Xs = jnp.tile(X_ref[None, :], (X_grid.shape[0], 1))
+        Xs = Xs.at[:, feature].set(X_grid)
+    pred = model.predict_f(Xs)
+    lo, hi = confidence_interval(pred.mean, pred.var)
+    return pred.mean, lo, hi
