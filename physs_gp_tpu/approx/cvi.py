@@ -44,11 +44,22 @@ class Sites:
     V: jnp.ndarray  # [T, p, p] PSD blocks
 
 
-def init_sites(Y_data: jnp.ndarray, init_var: float = 1.0) -> Sites:
-    """Weak initial sites centred on zero; missing rows stay NaN."""
+def init_sites(Y_data: jnp.ndarray, init_var: float = 1.0, active=None) -> Sites:
+    """Weak initial sites centred on zero; inactive elements stay NaN.
+
+    `active` [T, p] marks the site elements that may carry information. The
+    default (observed data elements only) reproduces plain CVI; physics models
+    pass a wider mask so heads constrained only through a residual ELL get
+    ACTIVE sites — the reference's full-state-observed surrogate semantics
+    (`conjugate_gaussian_approximate_posterior.py:174-232`,
+    `models/sde_gp.py` full_state_observed). Without this, residual
+    information has no site row to live in and the physics is inert.
+    """
     T, p = Y_data.shape
     dtype = Y_data.dtype
-    Y0 = jnp.where(jnp.isfinite(Y_data), 0.0, jnp.nan).astype(dtype)
+    if active is None:
+        active = jnp.isfinite(Y_data)
+    Y0 = jnp.where(active, 0.0, jnp.nan).astype(dtype)
     V0 = jnp.broadcast_to(init_var * jnp.eye(p, dtype=dtype), (T, p, p))
     return Sites(Y=Y0, V=V0)
 
@@ -93,13 +104,21 @@ def natgrad_update(
     S: jnp.ndarray,  # [T, p, p] q(f) marginal covariance blocks
     ell_fn,  # (m, S) -> scalar sum ELL
     lr: float,
+    grads=None,  # optional precomputed (g1, g2), e.g. Gauss-Newton g2
 ) -> Sites:
     """One CVI natural-gradient step on all sites jointly.
 
     ell_fn must be the *data* expected log-likelihood as a function of the
     q(f) block moments (differentiated here; ref `cvi_nat_grad.py:380`).
+    `grads` overrides the autodiff (g1, g2) — used for the Gauss-Newton /
+    Laplace-GN Hessian approximations (ref
+    `natural_gradients/cvi_hessian_approximations.py:85-634`) whose g2 is
+    negative-semidefinite by construction.
     """
-    g1, g2 = jax.grad(ell_fn, argnums=(0, 1))(m, S)
+    if grads is None:
+        g1, g2 = jax.grad(ell_fn, argnums=(0, 1))(m, S)
+    else:
+        g1, g2 = grads
     g2 = symmetrize(g2)
     lam1, lam2 = to_natural(sites)
     lam1_new = (1.0 - lr) * lam1 + lr * (

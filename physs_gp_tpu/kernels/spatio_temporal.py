@@ -102,6 +102,11 @@ class SpatioTemporalKernel(Kernel):
         s_new = jnp.atleast_2d(s_new)
         if s_op is None:
             Ksz = self.k_space.K(s_new, self.Z)  # [N*, Ns]
+        elif hasattr(s_op, "kind") and hasattr(self.k_space, "K_op"):
+            # closed-form derivative cross-covariance (RBF): one batched
+            # expression — vastly fewer XLA ops than the nested-autodiff
+            # fallback, and bf16-safe (no tiny-op chains)
+            Ksz = self.k_space.K_op(s_new, self.Z, s_op.kind)
         else:
             Ksz = jax.vmap(
                 lambda s: jax.vmap(lambda z: s_op(self.k_space.k_scalar, s, z))(

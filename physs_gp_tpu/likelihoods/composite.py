@@ -13,6 +13,8 @@ nonlinear prior transforms (`dispatched_ell.py:255` compute_ell_for_sample).
 """
 from __future__ import annotations
 
+import math
+
 from typing import Callable
 
 import jax
@@ -25,7 +27,7 @@ from .gaussian import Likelihood
 
 __all__ = ["CompositeLikelihood", "NonlinearResidual"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 @module
@@ -46,17 +48,46 @@ class NonlinearResidual:
     def key(self):
         return jax.random.PRNGKey(self.seed)
 
-    def ell(self, mask, m, S):
-        """mask: [T] 1.0 where the residual is enforced; m [T,p]; S [T,p,p]."""
+    def _samples(self, m, S):
         L = safe_cholesky(S)
         eps = jax.random.normal(
             self.key, (self.n_mc,) + m.shape, m.dtype
         )  # [n, T, p]
-        f = m[None] + jnp.einsum("tij,ntj->nti", L, eps)
+        return m[None] + jnp.einsum("tij,ntj->nti", L, eps)
+
+    def ell(self, mask, m, S):
+        """mask: [T] 1.0 where the residual is enforced; m [T,p]; S [T,p,p]."""
+        f = self._samples(m, S)
         r = self.fn(f)  # [n, T]
         nv = self.noise_var.value
         ll = -0.5 * (_LOG2PI + jnp.log(nv) + r * r / nv)
         return jnp.sum(jnp.where(mask > 0, jnp.mean(ll, axis=0), 0.0))
+
+    def gauss_newton_grads(self, mask, m, S):
+        """(g1, g2) of the residual ELL with the Gauss-Newton Hessian.
+
+        TPU counterpart of the reference's `laplace_gauss_newton` family
+        (`natural_gradients/cvi_hessian_approximations.py:85-634`): for the
+        Gaussian residual pseudo-likelihood -r(f)^2/2sigma^2,
+
+            g1 = -E[ r(f) J(f) ] / sigma^2           (exact MC gradient)
+            g2 = -0.5 E[ J(f) J(f)^T ] / sigma^2     (GN: drop the r * dJ term)
+
+        g2 is negative-semidefinite by construction, so the site precision
+        -2 lam2 stays PSD under hard non-conjugacy where the exact MC Hessian
+        goes indefinite.
+        """
+        f = self._samples(m, S)  # [n, T, p]
+        r = self.fn(f)  # [n, T]
+        J = jax.vmap(jax.vmap(jax.grad(self.fn)))(f)  # [n, T, p]
+        nv = self.noise_var.value
+        g1 = -jnp.mean(r[..., None] * J, axis=0) / nv  # [T, p]
+        g2 = -0.5 * jnp.mean(
+            J[..., :, None] * J[..., None, :], axis=0
+        ) / nv  # [T, p, p]
+        g1 = jnp.where(mask[:, None] > 0, g1, 0.0)
+        g2 = jnp.where(mask[:, None, None] > 0, g2, 0.0)
+        return g1, g2
 
 
 @module
@@ -70,6 +101,56 @@ class CompositeLikelihood(Likelihood):
     heads: list = field(default_factory=list)
     residual: object = None
     residual_mask: object = None
+
+    def site_active_mask(self, Y):
+        """[T, p] mask of site elements that can carry information.
+
+        Data elements (finite Y) are always active. When a nonlinear residual
+        is present, EVERY head is additionally active at the residual rows —
+        the full-state-observed surrogate semantics of the reference
+        (`conjugate_gaussian_approximate_posterior.py:174-232`): the residual
+        couples all heads, so all of them need live site rows there.
+        """
+        act = jnp.isfinite(Y)
+        if self.residual is not None:
+            rows = (
+                jnp.ones(Y.shape[0], bool)
+                if self.residual_mask is None
+                else self.residual_mask > 0
+            )
+            act = act | rows[:, None]
+        return act
+
+    def natgrad_moments(self, Y, m, S, residual_hessian: str = "exact"):
+        """(g1, g2) = d ELL / d(m, S) for the CVI site update.
+
+        residual_hessian='gauss_newton' swaps the residual term's exact MC
+        Hessian for the PSD-safe Gauss-Newton form (heads stay exact)."""
+        if residual_hessian == "exact" or self.residual is None:
+            return jax.grad(
+                lambda mm, SS: self.expected_log_lik_blocks(Y, mm, SS),
+                argnums=(0, 1),
+            )(m, S)
+
+        def heads_only(mm, SS):
+            from .nongaussian import expected_log_lik
+
+            v = jnp.diagonal(SS, axis1=-2, axis2=-1)
+            tot = 0.0
+            for h, lik in enumerate(self.heads):
+                tot = tot + jnp.sum(
+                    expected_log_lik(lik, Y[:, h], mm[:, h], v[:, h])
+                )
+            return tot
+
+        g1, g2 = jax.grad(heads_only, argnums=(0, 1))(m, S)
+        mask = (
+            jnp.ones(m.shape[0], m.dtype)
+            if self.residual_mask is None
+            else self.residual_mask
+        )
+        r1, r2 = self.residual.gauss_newton_grads(mask, m, S)
+        return g1 + r1, g2 + r2
 
     def expected_log_lik_blocks(self, Y, m, S):
         """Total ELL given block moments (m [T,p], S [T,p,p])."""

@@ -66,6 +66,17 @@ class IndependentGaussian(Likelihood):
         v = self._v
         return -0.5 * (jnp.log(2 * jnp.pi * v) + (y - f) ** 2 / v)
 
+    def expected_log_lik(self, y, m, v):
+        """Closed-form E_{N(m,v)}[log N(y | f, var_h)] per head column;
+        NaN observations contribute 0 (enables CVI over multi-head ST
+        models with per-head noise — the AC-style training configuration)."""
+        nv = self._v  # [p], broadcasts over [T, p]
+        y0 = jnp.nan_to_num(y)
+        val = -0.5 * (
+            jnp.log(2 * jnp.pi * nv) + ((y0 - m) ** 2 + v) / nv
+        )
+        return jnp.where(jnp.isfinite(y), val, 0.0)
+
     def conditional_mean(self, f):
         return f
 

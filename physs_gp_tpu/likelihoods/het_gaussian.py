@@ -11,6 +11,8 @@ form under the log link:
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from ..utils.struct import module, static
@@ -18,7 +20,7 @@ from .gaussian import Likelihood
 
 __all__ = ["HetGaussian"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 @module

@@ -15,6 +15,8 @@ the filters).
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -25,7 +27,7 @@ from .gaussian import Gaussian, Likelihood
 
 __all__ = ["Poisson", "Bernoulli", "Probit", "expected_log_lik"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 def _mask_nan(y, val):

@@ -6,6 +6,8 @@ NLPD) and `computation/predictors/confidence_intervals.py`. All NaN-aware
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -13,7 +15,7 @@ from ..ops.quadrature import expect_gh
 
 __all__ = ["rmse", "gaussian_nlpd", "nlpd_quadrature", "confidence_interval"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 def rmse(y_true, y_pred) -> jnp.ndarray:

@@ -12,6 +12,8 @@ the Cholesky triangular solves are large fp32 matmuls.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -28,7 +30,7 @@ from .ssgp import GaussianMoments
 
 __all__ = ["BatchGP"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 @module

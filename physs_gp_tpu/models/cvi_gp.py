@@ -14,12 +14,15 @@ graph; `parallel=True` swaps in the associative-scan filters.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from ..approx.cvi import Sites, init_sites, natgrad_update
 from ..likelihoods.gaussian import BlockDiagonalGaussian
 from ..likelihoods.nongaussian import expected_log_lik
+from ..ops.gaussian import mask_covariance, masked_mvn_logpdf
 from ..ops.lgssm import build_lgssm
 from ..ops.runner import run_filter_smoother
 from ..ops.matrix import cholesky_solve, diag_from_XDXT, log_det_from_chol, safe_cholesky, solve_lower
@@ -28,7 +31,7 @@ from .ssgp import GaussianMoments
 
 __all__ = ["CVIGP"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 @module
@@ -42,21 +45,34 @@ class CVIGP:
     parallel: bool = static(default=False)
     sqrt: bool = static(default=False)
     chunk_size: object = static(default=None)
+    mesh: object = static(default=None)  # jax.sharding.Mesh: time-axis sharding
+    mesh_axis: str = static(default="t")
 
     # ---- construction ----
     @classmethod
     def init(cls, t, Y, kernel, likelihood, observation=None, parallel=False,
-             sqrt=False, chunk_size=None, site_var: float = 1.0):
+             sqrt=False, chunk_size=None, site_var: float = 1.0, mesh=None,
+             mesh_axis: str = "t"):
+        # Likelihoods with residual terms widen the active-site mask so
+        # never-directly-observed heads still carry sites (full-state-observed
+        # surrogate, ref `conjugate_gaussian_approximate_posterior.py:174`).
+        active = (
+            likelihood.site_active_mask(Y)
+            if hasattr(likelihood, "site_active_mask")
+            else None
+        )
         return cls(
             t=jnp.ravel(t),
             Y=Y,
             kernel=kernel,
             likelihood=likelihood,
-            sites=init_sites(Y, site_var),
+            sites=init_sites(Y, site_var, active=active),
             observation=observation,
             parallel=parallel,
             sqrt=sqrt,
             chunk_size=chunk_size,
+            mesh=mesh,
+            mesh_axis=mesh_axis,
         )
 
     # ---- surrogate filtering ----
@@ -70,7 +86,8 @@ class CVIGP:
         R = self.sites.V
         f, s = run_filter_smoother(
             ssm, R, self.sites.Y, parallel=self.parallel, sqrt=self.sqrt,
-            chunk_size=self.chunk_size,
+            chunk_size=self.chunk_size, mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )
         m = s.ms @ ssm.H.T  # [T, p]
         S = jnp.einsum("pi,tij,qj->tpq", ssm.H, s.Ps, ssm.H)  # [T, p, p]
@@ -86,20 +103,22 @@ class CVIGP:
         return jnp.sum(expected_log_lik(self.likelihood, self.Y, m, v))
 
     def _ell_sites(self, m, S):
-        """sum_t E_q[log N(Ỹ_t | f_t, Ṽ_t)] over observed site rows."""
-        ok = jnp.isfinite(self.sites.Y)
-        obs = jnp.all(ok, axis=-1)  # [T]; sites are blockwise observed/missing
-        Y0 = jnp.nan_to_num(self.sites.Y)
-        L = safe_cholesky(self.sites.V)
-        diff = (Y0 - m)[..., None]
-        alpha = solve_lower(L, diff)[..., 0]
-        maha = jnp.sum(alpha * alpha, -1)
-        # tr(V^-1 S) = || L^-1 chol-ish ||; use solve against S
-        VinvS = cholesky_solve(L, S)
-        tr = jnp.trace(VinvS, axis1=-2, axis2=-1)
-        p = self.sites.Y.shape[1]
-        val = -0.5 * (p * _LOG2PI + log_det_from_chol(L) + maha + tr)
-        return jnp.sum(jnp.where(obs, val, 0.0))
+        """sum_t E_q[log N(Ỹ_t | f_t, Ṽ_t)] over ACTIVE site elements.
+
+        Per-element masking (not per-row): a timestep where some heads are
+        active and others are not contributes exactly its active sub-block —
+        matching the filters' per-element masking, so every term the surrogate
+        lml counts is also counted here (ragged multi-head models were biased
+        by the old all-or-nothing row mask)."""
+        ok = jnp.isfinite(self.sites.Y).astype(m.dtype)  # [T, p]
+        logpdf = masked_mvn_logpdf(self.sites.Y, m * ok, self.sites.V, ok)
+        # trace term over the active sub-block: mask V (unit diag on inactive)
+        # and zero S's inactive rows/cols.
+        Vm = mask_covariance(self.sites.V, ok)
+        Lm = safe_cholesky(Vm)
+        Sm = S * (ok[..., :, None] * ok[..., None, :])
+        tr = jnp.trace(cholesky_solve(Lm, Sm), axis1=-2, axis2=-1)
+        return jnp.sum(logpdf) - 0.5 * jnp.sum(tr)
 
     # ---- public API ----
     def elbo(self) -> jnp.ndarray:
@@ -109,22 +128,33 @@ class CVIGP:
     def get_objective(self) -> jnp.ndarray:
         return -self.elbo()
 
-    def natural_gradient_update(self, lr: float) -> "CVIGP":
+    def _site_grads(self, m, S, hessian: str):
+        """(g1, g2) of the data ELL; hessian='gauss_newton' uses the PSD-safe
+        GN form for residual terms (ref `cvi_hessian_approximations.py`)."""
+        if hessian != "exact" and hasattr(self.likelihood, "natgrad_moments"):
+            return self.likelihood.natgrad_moments(
+                self.Y, m, S, residual_hessian=hessian
+            )
+        return None  # natgrad_update autodiffs the exact ELL
+
+    def natural_gradient_update(self, lr: float, hessian: str = "exact") -> "CVIGP":
         """One CVI step on all sites (ref `cvi_nat_grad.py:346-410`)."""
         _, m, S = self._surrogate_pass()
         new_sites = natgrad_update(
-            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr
+            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr,
+            grads=self._site_grads(m, S, hessian),
         )
         return replace(self, sites=new_sites)
 
-    def step_with_elbo(self, lr: float):
+    def step_with_elbo(self, lr: float, hessian: str = "exact"):
         """One CVI step + the (pre-update) ELBO from a SINGLE surrogate
         filter+smoother pass — use this in training loops instead of
         natural_gradient_update + elbo, which would run the pass twice."""
         lml_sur, m, S = self._surrogate_pass()
         elbo = self._ell_data(m, S) - self._ell_sites(m, S) + lml_sur
         new_sites = natgrad_update(
-            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr
+            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr,
+            grads=self._site_grads(m, S, hessian),
         )
         return replace(self, sites=new_sites), elbo
 
@@ -145,6 +175,8 @@ class CVIGP:
             parallel=self.parallel,
             sqrt=self.sqrt,
             chunk_size=self.chunk_size,
+            mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )
         return surrogate.predict_f(t_new)
 

@@ -10,6 +10,8 @@ reference routes this through its sampled-ELL dispatch,
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -28,7 +30,7 @@ from .svgp import _chol_gram
 
 __all__ = ["GPRN"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 @module

@@ -41,6 +41,8 @@ class StateSpaceGP:
     parallel: bool = static(default=False)
     sqrt: bool = static(default=False)  # square-root (QR) filtering, fp32-robust
     chunk_size: object = static(default=None)
+    mesh: object = static(default=None)  # jax.sharding.Mesh: time-axis sharding
+    mesh_axis: str = static(default="t")
 
     # ---- internals ----
     def _filter_inputs(self):
@@ -55,10 +57,16 @@ class StateSpaceGP:
     # ---- public API (mirrors ref `core/models.py:108-118` surface) ----
     def log_marginal_likelihood(self) -> jnp.ndarray:
         ssm, R = self._filter_inputs()
-        f, _ = run_filter(
-            ssm, R, self.Y, parallel=self.parallel, sqrt=self.sqrt,
-            chunk_size=self.chunk_size,
-        )
+        if self.mesh is not None:
+            f, _ = run_filter_smoother(
+                ssm, R, self.Y, sqrt=self.sqrt, chunk_size=self.chunk_size,
+                mesh=self.mesh, mesh_axis=self.mesh_axis,
+            )
+        else:
+            f, _ = run_filter(
+                ssm, R, self.Y, parallel=self.parallel, sqrt=self.sqrt,
+                chunk_size=self.chunk_size,
+            )
         return f.lml
 
     def get_objective(self) -> jnp.ndarray:
@@ -68,7 +76,8 @@ class StateSpaceGP:
         ssm, R = self._filter_inputs()
         f, s = run_filter_smoother(
             ssm, R, self.Y if Y is None else Y, parallel=self.parallel,
-            sqrt=self.sqrt, chunk_size=self.chunk_size,
+            sqrt=self.sqrt, chunk_size=self.chunk_size, mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )
         return ssm, f, s
 
@@ -136,5 +145,6 @@ class StateSpaceGPView:
         f, s = run_filter_smoother(
             ssm, self.R, self.Y, parallel=self.base.parallel,
             sqrt=self.base.sqrt, chunk_size=self.base.chunk_size,
+            mesh=self.base.mesh, mesh_axis=self.base.mesh_axis,
         )
         return ssm, f, s

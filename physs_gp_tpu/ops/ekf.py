@@ -137,8 +137,13 @@ def ekf_smoother(ssm: NonlinearSSM, t, filtered: FilterResult,
         P_s = symmetrize(P_f + G @ (P_next_s - P_pred) @ G.T)
         return (m_s, P_s), (m_s, P_s, G)
 
-    (_, _), (ms_s, Ps_s, Gs) = jax.lax.scan(
-        step, (ms[-1], Ps[-1]), (ms[:-1], Ps[:-1], dt), reverse=True
+    # flip + forward scan + flip (reverse=True is ~27x slower on TPU)
+    flipped = jax.tree_util.tree_map(
+        lambda x: x[::-1], (ms[:-1], Ps[:-1], dt)
+    )
+    (_, _), (ms_s, Ps_s, Gs) = jax.lax.scan(step, (ms[-1], Ps[-1]), flipped)
+    ms_s, Ps_s, Gs = jax.tree_util.tree_map(
+        lambda x: x[::-1], (ms_s, Ps_s, Gs)
     )
     ms_out = jnp.concatenate([ms_s, ms[-1:]], axis=0)
     Ps_out = jnp.concatenate([Ps_s, Ps[-1:]], axis=0)

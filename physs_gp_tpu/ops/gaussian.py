@@ -8,6 +8,8 @@ a static-shape batched matmul — no gather/scatter, no dynamic shapes.
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from .matrix import log_det_from_chol, safe_cholesky, solve_lower, symmetrize
@@ -20,7 +22,7 @@ __all__ = [
     "gaussian_expected_logpdf_diag",
 ]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 def mvn_logpdf(y: jnp.ndarray, mean: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:

@@ -21,6 +21,8 @@ Markovianity — resets error, bounds memory, constant graph size in T).
 """
 from __future__ import annotations
 
+import math
+
 from typing import NamedTuple
 
 import jax
@@ -32,7 +34,7 @@ from .sqrt_kalman import _sqrt_update, tria
 
 __all__ = ["parallel_sqrt_kalman_filter", "parallel_sqrt_rts_smoother"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 class _SqrtFilterElems(NamedTuple):
@@ -55,12 +57,7 @@ def _build_sqrt_elements(A, Q_sqrt, H, R_sqrt, y, mask, m0, U0):
     dtype = U0.dtype
     y0 = jnp.where(mask > 0, jnp.nan_to_num(y), 0.0)
     Hm = mask[..., :, None] * H  # [T, p, d]
-    Rs_m = (
-        mask[..., :, None] * R_sqrt * mask[..., None, :]
-        + jnp.eye(p, dtype=dtype) * (1.0 - mask)[..., None, :]
-        * jnp.eye(p, dtype=dtype)
-    )
-    # identity filler on the diagonal for masked rows:
+    # masked R_sqrt with identity filler on the diagonal for masked rows:
     Rs_m = mask[..., :, None] * R_sqrt * mask[..., None, :] + jnp.einsum(
         "tp,pq->tpq", 1.0 - mask, jnp.eye(p, dtype=dtype)
     )
@@ -115,8 +112,31 @@ def _build_sqrt_elements(A, Q_sqrt, H, R_sqrt, y, mask, m0, U0):
     return _SqrtFilterElems(A=A_out, b=b_out, U=U_out, eta=eta, Z=Z)
 
 
+def _broadcast_batch(e1, e2):
+    """Broadcast two element pytrees to a common batch shape (the chunked /
+    sharded combines apply a [1, ...] carry against a [chunk, ...] scan; the
+    concatenate-based sqrt algebra needs real matching shapes, unlike the
+    einsum-only covariance operator)."""
+    b1 = jax.tree_util.tree_leaves(e1)[0].shape[:-2]
+    b2 = jax.tree_util.tree_leaves(e2)[0].shape[:-2]
+    if b1 == b2:
+        return e1, e2
+    batch = jnp.broadcast_shapes(b1, b2)
+
+    def fix(x):
+        # vectors [batch, d] vs matrices [batch, d, d]
+        core = 1 if x.ndim == len(b1) + 1 else 2
+        return jnp.broadcast_to(x, batch + x.shape[x.ndim - core:])
+
+    return (
+        jax.tree_util.tree_map(fix, e1),
+        jax.tree_util.tree_map(fix, e2),
+    )
+
+
 def _sqrt_filtering_operator(e1, e2):
     """Associative combine in square-root form (e1 earlier, e2 later)."""
+    e1, e2 = _broadcast_batch(e1, e2)
     d = e1.A.shape[-1]
     dtype = e1.A.dtype
     eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
@@ -253,6 +273,7 @@ class _SqrtSmootherElems(NamedTuple):
 
 def _sqrt_smoothing_operator(ej, ei):
     """Reverse-scan combine (ej later-suffix, ei earlier): sqrt form."""
+    ej, ei = _broadcast_batch(ej, ei)
     E = jnp.einsum("...ij,...jk->...ik", ei.E, ej.E)
     g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
     D = tria(

@@ -17,10 +17,15 @@ from .matrix import safe_cholesky, safe_cholesky_rel, symmetrize
 __all__ = ["run_filter_smoother", "run_filter"]
 
 
-def _pad_amount(T: int, chunk_size) -> int:
-    if chunk_size is None or T % chunk_size == 0 or T <= chunk_size:
+def _pad_amount(T: int, chunk_size, n_shards: int = 1) -> int:
+    """Steps to append so T divides into n_shards equal segments, each a
+    multiple of chunk_size (chunking applies within a shard's segment)."""
+    unit = n_shards * (chunk_size or 1)
+    if n_shards == 1 and (chunk_size is None or T <= chunk_size):
         return 0
-    return chunk_size - (T % chunk_size)
+    if n_shards > 1 and chunk_size is not None and T // n_shards <= chunk_size:
+        unit = n_shards  # chunking is a no-op within each segment
+    return (-T) % unit
 
 
 def _pad_inputs(ssm, R, Y, pad: int):
@@ -97,8 +102,17 @@ def _run_filter_raw(ssm, R, Y, *, parallel, sqrt, chunk_size):
 
 
 def run_filter_smoother(ssm, R, Y, *, parallel=False, sqrt=False,
-                        chunk_size=None):
-    """Filter + smoother; both results carry COVARIANCE Ps."""
+                        chunk_size=None, mesh=None, mesh_axis: str = "t"):
+    """Filter + smoother; both results carry COVARIANCE Ps.
+
+    `mesh`: a `jax.sharding.Mesh` routes the pass through the time-axis
+    sharded multi-chip filters (`parallel.sharded`); `parallel` is implied.
+    """
+    if mesh is not None:
+        return _run_sharded(
+            ssm, R, Y, sqrt=sqrt, chunk_size=chunk_size, mesh=mesh,
+            mesh_axis=mesh_axis,
+        )
     T = Y.shape[0]
     pad = _pad_amount(T, chunk_size if parallel else None)
     if pad:
@@ -121,3 +135,28 @@ def run_filter_smoother(ssm, R, Y, *, parallel=False, sqrt=False,
     else:
         s = kalman.rts_smoother(ssm.A, ssm.Q, f_raw)
     return _unpad(f_cov, T), _unpad(s, T)
+
+
+def _run_sharded(ssm, R, Y, *, sqrt, chunk_size, mesh, mesh_axis):
+    """Multi-chip time-sharded pass (pads T to the mesh/chunk grid)."""
+    from ..parallel import sharded as _sharded
+
+    T = Y.shape[0]
+    n_dev = mesh.shape[mesh_axis]
+    pad = _pad_amount(T, chunk_size, n_shards=n_dev)
+    if pad:
+        ssm, R, Y = _pad_inputs(ssm, R, Y, pad)
+    if sqrt:
+        Q_sqrt = safe_cholesky_rel(ssm.Q)
+        R_sqrt = safe_cholesky_rel(R)
+        P0_sqrt = safe_cholesky_rel(ssm.P0)
+        f, s = _sharded.sharded_sqrt_filter_smoother(
+            ssm.A, Q_sqrt, ssm.H, R_sqrt, Y, ssm.m0, P0_sqrt, mesh=mesh,
+            axis=mesh_axis, chunk_size=chunk_size,
+        )
+    else:
+        f, s = _sharded.sharded_filter_smoother(
+            ssm.A, ssm.Q, ssm.H, R, Y, ssm.m0, ssm.P0, mesh=mesh,
+            axis=mesh_axis, chunk_size=chunk_size,
+        )
+    return _unpad(f, T), _unpad(s, T)

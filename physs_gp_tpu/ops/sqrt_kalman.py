@@ -15,6 +15,8 @@ fixed-shape (masked H rows + identity filler) algebra as the dense filters.
 """
 from __future__ import annotations
 
+import math
+
 from typing import NamedTuple
 
 import jax
@@ -26,7 +28,7 @@ from .matrix import highest_precision, symmetrize
 
 __all__ = ["tria", "psd_sqrt", "sqrt_kalman_filter", "sqrt_rts_smoother"]
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 def tria(B: jnp.ndarray) -> jnp.ndarray:
@@ -182,12 +184,12 @@ def sqrt_rts_smoother(A, Q_sqrt, filtered: FilterResult) -> SmootherResult:
         D = tria(jnp.concatenate([Y22, G @ D_next], axis=-1))
         return (m_s, D), (m_s, D, G)
 
-    (_, _), (ms_s, Ds, Gs) = jax.lax.scan(
-        step,
-        (ms[-1], Us[-1]),
-        (ms[:-1], Us[:-1], A[1:], Q_sqrt[1:]),
-        reverse=True,
+    # flip + forward scan + flip (reverse=True is ~27x slower on TPU)
+    flipped = jax.tree_util.tree_map(
+        lambda x: x[::-1], (ms[:-1], Us[:-1], A[1:], Q_sqrt[1:])
     )
+    (_, _), (ms_s, Ds, Gs) = jax.lax.scan(step, (ms[-1], Us[-1]), flipped)
+    ms_s, Ds, Gs = jax.tree_util.tree_map(lambda x: x[::-1], (ms_s, Ds, Gs))
     ms_out = jnp.concatenate([ms_s, ms[-1:]], axis=0)
     Ds_out = jnp.concatenate([Ds, Us[-1:]], axis=0)
     Gs_out = jnp.concatenate([Gs, jnp.zeros((1, d, d), dtype)], axis=0)

@@ -35,6 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.kalman import FilterResult, SmootherResult, observation_mask
 from ..ops.matrix import highest_precision, safe_cholesky, cholesky_solve, symmetrize
+from ..ops.sqrt_kalman import tria
 from ..ops.parallel_kalman import (
     _FilterElems,
     _SmootherElems,
@@ -43,8 +44,17 @@ from ..ops.parallel_kalman import (
     _per_step_lml,
     _smoothing_operator,
 )
+from ..ops.parallel_sqrt_kalman import (
+    _SqrtFilterElems,
+    _SqrtSmootherElems,
+    _build_sqrt_elements,
+    _per_step_lml_sqrt,
+    _solve_tri,
+    _sqrt_filtering_operator,
+    _sqrt_smoothing_operator,
+)
 
-__all__ = ["sharded_filter_smoother"]
+__all__ = ["sharded_filter_smoother", "sharded_sqrt_filter_smoother"]
 
 
 def _identity_filter_elem(d, dtype):
@@ -55,6 +65,52 @@ def _identity_filter_elem(d, dtype):
         J=jnp.zeros((d, d), dtype),
         eta=jnp.zeros((d,), dtype),
     )
+
+
+def _identity_sqrt_filter_elem(d, dtype):
+    return _SqrtFilterElems(
+        A=jnp.eye(d, dtype=dtype),
+        b=jnp.zeros((d,), dtype),
+        U=jnp.zeros((d, d), dtype),
+        eta=jnp.zeros((d,), dtype),
+        Z=jnp.zeros((d, d), dtype),
+    )
+
+
+def _generic_local_elements(build_fn, A_l, Q_l, H_l, R_l, y_l, mask_l, m_z, P_z):
+    """Build ALL-GENERIC elements for a local segment (no prior fold, no
+    zeroed first element). The builders special-case index 0 as the global
+    first step; prepend a dummy copy of step 0 and drop its element, so index
+    0's element comes out of the shared generic formulas."""
+    pad = lambda x: jnp.concatenate([x[:1], x], axis=0)
+    elems = build_fn(
+        pad(A_l), pad(Q_l), pad(H_l), pad(R_l), pad(y_l), pad(mask_l), m_z, P_z
+    )
+    return jax.tree_util.tree_map(lambda x: x[1:], elems)
+
+
+def _chunked_inclusive_scan(op, elems, chunk_size, ident):
+    """Inclusive associative combine; if chunk_size is set, an outer lax.scan
+    over chunks of inner associative scans with the combined ELEMENT as carry
+    (bounds memory + keeps graph size constant in the local segment length).
+    `ident` must be a left identity of `op` and is fed as the initial carry."""
+    T = jax.tree_util.tree_leaves(elems)[0].shape[0]
+    if chunk_size is None or chunk_size >= T:
+        return jax.lax.associative_scan(op, elems)
+    assert T % chunk_size == 0, "local segment must divide by chunk_size"
+    n = T // chunk_size
+    chunked = jax.tree_util.tree_map(
+        lambda x: x.reshape((n, chunk_size) + x.shape[1:]), elems
+    )
+
+    def step(carry, chunk):
+        inner = jax.lax.associative_scan(op, chunk)
+        combined = op(jax.tree_util.tree_map(lambda x: x[None], carry), inner)
+        last = jax.tree_util.tree_map(lambda x: x[-1], combined)
+        return last, combined
+
+    _, out = jax.lax.scan(step, ident, chunked)
+    return jax.tree_util.tree_map(lambda x: x.reshape((T,) + x.shape[2:]), out)
 
 
 def _tree_at(tree, i):
@@ -96,13 +152,20 @@ def _exclusive_suffix(totals, idx, n_dev, identity, operator, axis):
 
 @highest_precision
 def sharded_filter_smoother(
-    A, Q, H, R, y, m0, P0, mesh: Mesh, axis: str = "t", mask=None
+    A, Q, H, R, y, m0, P0, mesh: Mesh, axis: str = "t", mask=None,
+    chunk_size: int | None = None,
 ):
     """Time-sharded parallel filter + smoother.
 
     A, Q: [T, d, d]; H: [p, d]; R: [T, p, p]; y: [T, p]; T must be divisible
     by mesh.shape[axis]. Returns (FilterResult, SmootherResult) with outputs
     sharded along the time axis.
+
+    `chunk_size` chunks each chip's LOCAL scan (outer lax.scan of inner
+    associative scans, element carry) — bounds per-chip memory and keeps the
+    traced graph constant in T/n_dev, same story as the single-chip chunked
+    mode but with an element (not state) carry since the incoming state is
+    unknown until the cross-chip exchange.
     """
     T, d = y.shape[0], m0.shape[-1]
     n_dev = mesh.shape[axis]
@@ -130,20 +193,19 @@ def sharded_filter_smoother(
             A_l, Q_l, H_l, R_l, y_l, mask_l, m0_, P0_
         )
         # generic (no prior, no zeroed first element) variant for chips > 0:
-        zeros_m = jnp.zeros_like(m0_)
-        zeros_P = jnp.zeros_like(P0_)
-        elems1 = _build_filter_elements(
-            A_l, Q_l, H_l, R_l, y_l, mask_l, zeros_m, zeros_P
+        elems1 = _generic_local_elements(
+            _build_filter_elements, A_l, Q_l, H_l, R_l, y_l, mask_l,
+            jnp.zeros_like(m0_), jnp.zeros_like(P0_),
         )
-        # chips > 0 must keep the generic element 0 (A, eta, J not zeroed):
-        elems1 = _rebuild_generic_first(elems1, A_l, Q_l, H_l, R_l, y_l, mask_l)
         elems = jax.tree_util.tree_map(
             lambda a, b: jnp.where(idx == 0, a, b), elems0, elems1
         )
-        local = jax.lax.associative_scan(_filtering_operator, elems)
+        ident = _identity_filter_elem(d, dtype)
+        local = _chunked_inclusive_scan(
+            _filtering_operator, elems, chunk_size, _varying(ident, axis)
+        )
         total = _tree_at(local, -1)
         totals = jax.lax.all_gather(total, axis)  # [n_dev, ...]
-        ident = _identity_filter_elem(d, dtype)
         prefix = _exclusive_prefix(
             totals, idx, n_dev, ident, _filtering_operator, axis
         )
@@ -181,16 +243,22 @@ def sharded_filter_smoother(
         g = jnp.concatenate([g_l, g_last[None]], axis=0)
         L = jnp.concatenate([L_l, L_last[None]], axis=0)
         selems = _SmootherElems(E=E, g=g, L=L)
-        slocal = jax.lax.associative_scan(
-            _smoothing_operator, selems, reverse=True
-        )
-        stotal = _tree_at(slocal, 0)
-        stotals = jax.lax.all_gather(stotal, axis)
+        # FLIP + forward scan + FLIP instead of reverse=True: reverse scans
+        # hit a 27x-slower TPU path (see ops/parallel_kalman.py:260-266);
+        # bit-identical results, and _smoothing_operator's (ej, ei) argument
+        # order is exactly the flipped-domain prefix convention.
         sident = _SmootherElems(
             E=jnp.eye(d, dtype=dtype),
             g=jnp.zeros((d,), dtype),
             L=jnp.zeros((d, d), dtype),
         )
+        sflip = jax.tree_util.tree_map(lambda x: x[::-1], selems)
+        sscan = _chunked_inclusive_scan(
+            _smoothing_operator, sflip, chunk_size, _varying(sident, axis)
+        )
+        slocal = jax.tree_util.tree_map(lambda x: x[::-1], sscan)
+        stotal = _tree_at(slocal, 0)
+        stotals = jax.lax.all_gather(stotal, axis)
         suffix = _exclusive_suffix(
             stotals, idx, n_dev, sident, _smoothing_operator, axis
         )
@@ -204,37 +272,6 @@ def sharded_filter_smoother(
     filt = FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls)
     smooth = SmootherResult(ms=sms, Ps=sPs, Gs=Gs)
     return filt, smooth
-
-
-def _rebuild_generic_first(elems, A_l, Q_l, H_l, R_l, y_l, mask_l):
-    """Element 0 built as a GENERIC element (P_loc = Q_0, no prior, A/eta/J
-    kept) — `_build_filter_elements` zeroes them assuming it owns the global
-    first step."""
-    from ..ops.gaussian import mask_covariance
-
-    dtype = A_l.dtype
-    d = A_l.shape[-1]
-    Hm0 = mask_l[0][:, None] * H_l[0]
-    y00 = jnp.nan_to_num(y_l[0]) * mask_l[0]
-    P_loc = Q_l[0]
-    S = mask_covariance(Hm0 @ P_loc @ Hm0.T + R_l[0], mask_l[0])
-    Ls = safe_cholesky(S)
-    K = cholesky_solve(Ls, Hm0 @ P_loc).T
-    ImKH = jnp.eye(d, dtype=dtype) - K @ Hm0
-    A0 = ImKH @ A_l[0]
-    b0 = K @ y00
-    C0 = symmetrize(ImKH @ P_loc)
-    Sinv_v = cholesky_solve(Ls, y00[:, None])[:, 0]
-    eta0 = A_l[0].T @ (Hm0.T @ Sinv_v)
-    SinvH = cholesky_solve(Ls, Hm0)
-    J0 = symmetrize(A_l[0].T @ (Hm0.T @ SinvH) @ A_l[0])
-    return _FilterElems(
-        A=elems.A.at[0].set(A0),
-        b=elems.b.at[0].set(b0),
-        C=elems.C.at[0].set(C0),
-        J=elems.J.at[0].set(J0),
-        eta=elems.eta.at[0].set(eta0),
-    )
 
 
 def _smoother_elements_interior(A_l, Q_l, ms_l, Ps_l):
@@ -262,3 +299,166 @@ def _smoother_boundary_element(A_next0, Q_next0, m_last, P_last):
     g = m_last - E @ m_pred
     L = symmetrize(P_last - E @ P_pred @ E.T)
     return E, g, L
+
+
+# ---------------------------------------------------------------------------
+# Square-root (QR) sharded variant — multi-chip with the fp32-robustness of
+# the single-chip sqrt path (ops/parallel_sqrt_kalman.py).
+# ---------------------------------------------------------------------------
+
+
+def _sqrt_smoother_elements_interior(A_l, Qs_l, ms_l, Us_l):
+    """Sqrt smoothing elements for local steps 0..n-2 (next (A, Q_sqrt))."""
+    n, d = ms_l.shape
+    dtype = Us_l.dtype
+    A_next, Qs_next = A_l[1:], Qs_l[1:]
+    U_f, m_f = Us_l[:-1], ms_l[:-1]
+    pre = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [jnp.einsum("tij,tjk->tik", A_next, U_f), Qs_next], axis=-1
+            ),
+            jnp.concatenate([U_f, jnp.zeros((n - 1, d, d), dtype)], axis=-1),
+        ],
+        axis=-2,
+    )
+    Tm = tria(pre)
+    Pp_sqrt, GP, Y22 = Tm[:, :d, :d], Tm[:, d:, :d], Tm[:, d:, d:]
+    G = jnp.swapaxes(
+        _solve_tri(
+            jnp.swapaxes(Pp_sqrt, -1, -2), jnp.swapaxes(GP, -1, -2),
+            lower=False,
+        ),
+        -1, -2,
+    )
+    g = m_f - jnp.einsum("tij,tj->ti", G, jnp.einsum("tij,tj->ti", A_next, m_f))
+    return G, g, Y22
+
+
+def _sqrt_smoother_boundary_element(A_next0, Qs_next0, m_last, U_last):
+    """Sqrt smoothing element for the chip's last step (next chip's A, Qs)."""
+    d = m_last.shape[-1]
+    dtype = U_last.dtype
+    pre = jnp.block(
+        [
+            [A_next0 @ U_last, Qs_next0],
+            [U_last, jnp.zeros((d, d), dtype)],
+        ]
+    )
+    Tm = tria(pre)
+    Pp_sqrt, GP, Y22 = Tm[:d, :d], Tm[d:, :d], Tm[d:, d:]
+    G = _solve_tri(Pp_sqrt.T, GP.T, lower=False).T
+    g = m_last - G @ (A_next0 @ m_last)
+    return G, g, Y22
+
+
+@highest_precision
+def sharded_sqrt_filter_smoother(
+    A, Q_sqrt, H, R_sqrt, y, m0, P0_sqrt, mesh: Mesh, axis: str = "t",
+    mask=None, chunk_size: int | None = None,
+):
+    """Time-sharded QR square-root parallel filter + smoother.
+
+    Same exchange structure as `sharded_filter_smoother` (local scans, one
+    all_gather of chunk totals, redundant tiny prefix fold) but with the
+    square-root elements/operators, so the multi-chip path inherits the fp32
+    robustness story (CLAUDE.md rule 3). Q_sqrt/R_sqrt/P0_sqrt are lower
+    Cholesky factors; returned Ps are COVARIANCES (squared at the boundary).
+    """
+    T, d = y.shape[0], m0.shape[-1]
+    n_dev = mesh.shape[axis]
+    assert T % n_dev == 0, f"T={T} must divide over {n_dev} '{axis}' shards"
+    if mask is None:
+        mask = observation_mask(y, P0_sqrt.dtype)
+    assert H.ndim == 2, "sharded path assumes a time-invariant H"
+    dtype = P0_sqrt.dtype
+
+    spec = P(axis)
+    rep = P()
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, rep, spec, spec, rep, rep),
+        out_specs=(spec, spec, spec, spec, spec, spec),
+    )
+    def run(A_l, Qs_l, H_, Rs_l, y_mask_l, m0_, U0_):
+        y_l, mask_l = y_mask_l[..., 0], y_mask_l[..., 1]
+        H_l = jnp.broadcast_to(H_, (y_l.shape[0],) + H_.shape)
+        idx = jax.lax.axis_index(axis)
+        elems0 = _build_sqrt_elements(
+            A_l, Qs_l, H_l, Rs_l, y_l, mask_l, m0_, U0_
+        )
+        elems1 = _generic_local_elements(
+            _build_sqrt_elements, A_l, Qs_l, H_l, Rs_l, y_l, mask_l,
+            jnp.zeros_like(m0_), jnp.zeros_like(U0_),
+        )
+        elems = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(idx == 0, a, b), elems0, elems1
+        )
+        ident = _identity_sqrt_filter_elem(d, dtype)
+        local = _chunked_inclusive_scan(
+            _sqrt_filtering_operator, elems, chunk_size, _varying(ident, axis)
+        )
+        total = _tree_at(local, -1)
+        totals = jax.lax.all_gather(total, axis)
+        prefix = _exclusive_prefix(
+            totals, idx, n_dev, ident, _sqrt_filtering_operator, axis
+        )
+        combined = _sqrt_filtering_operator(
+            jax.tree_util.tree_map(lambda x: x[None], prefix), local
+        )
+        ms_l, Us_l = combined.b, combined.U
+
+        m_in = jnp.where(idx == 0, m0_, prefix.b)
+        U_in = jnp.where(idx == 0, U0_, prefix.U)
+        lmls_l = _per_step_lml_sqrt(
+            A_l, Qs_l, H_l, Rs_l, y_l, mask_l, ms_l, m_in, U_in, Us_l
+        )
+
+        # --- sqrt smoothing elements + suffix exchange ---
+        E_l, g_l, D_l = _sqrt_smoother_elements_interior(
+            A_l, Qs_l, ms_l, Us_l
+        )
+        nbr = {axis: [(i, (i - 1) % n_dev) for i in range(n_dev)]}
+        A_next0 = jax.lax.ppermute(A_l[0], axis, nbr[axis])
+        Qs_next0 = jax.lax.ppermute(Qs_l[0], axis, nbr[axis])
+        E_last, g_last, D_last = _sqrt_smoother_boundary_element(
+            A_next0, Qs_next0, ms_l[-1], Us_l[-1]
+        )
+        is_last = idx == n_dev - 1
+        E_last = jnp.where(is_last, jnp.zeros((d, d), dtype), E_last)
+        g_last = jnp.where(is_last, ms_l[-1], g_last)
+        D_last = jnp.where(is_last, Us_l[-1], D_last)
+        E = jnp.concatenate([E_l, E_last[None]], axis=0)
+        g = jnp.concatenate([g_l, g_last[None]], axis=0)
+        D = jnp.concatenate([D_l, D_last[None]], axis=0)
+        selems = _SqrtSmootherElems(E=E, g=g, D=D)
+        sident = _SqrtSmootherElems(
+            E=jnp.eye(d, dtype=dtype),
+            g=jnp.zeros((d,), dtype),
+            D=jnp.zeros((d, d), dtype),
+        )
+        sflip = jax.tree_util.tree_map(lambda x: x[::-1], selems)
+        sscan = _chunked_inclusive_scan(
+            _sqrt_smoothing_operator, sflip, chunk_size, _varying(sident, axis)
+        )
+        slocal = jax.tree_util.tree_map(lambda x: x[::-1], sscan)
+        stotal = _tree_at(slocal, 0)
+        stotals = jax.lax.all_gather(stotal, axis)
+        suffix = _exclusive_suffix(
+            stotals, idx, n_dev, sident, _sqrt_smoothing_operator, axis
+        )
+        scombined = _sqrt_smoothing_operator(
+            jax.tree_util.tree_map(lambda x: x[None], suffix), slocal
+        )
+        # square the factors at the boundary (outputs are covariances)
+        Ps_l = jnp.einsum("tij,tkj->tik", Us_l, Us_l)
+        sPs_l = jnp.einsum("tij,tkj->tik", scombined.D, scombined.D)
+        return ms_l, Ps_l, lmls_l, scombined.g, sPs_l, E
+
+    y_mask = jnp.stack([jnp.nan_to_num(y) * mask, mask], axis=-1)
+    ms, Ps, lmls, sms, sPs, Gs = run(A, Q_sqrt, H, R_sqrt, y_mask, m0, P0_sqrt)
+    filt = FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls)
+    smooth = SmootherResult(ms=sms, Ps=sPs, Gs=Gs)
+    return filt, smooth

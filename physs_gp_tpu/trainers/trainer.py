@@ -80,14 +80,24 @@ class NatGradTrainer:
             lr_try = float(lr)
             for _ in range(self.nan_max_attempts):
                 new_model = self._step(model, lr_try)
-                ok = all(
-                    bool(jnp.all(jnp.isfinite(jnp.nan_to_num(x, nan=0.0))))
+                # A diverged step shows up as non-finite site variances, or as
+                # NaNs leaking into site means that were previously active
+                # (inactive site means are NaN by convention — compare the
+                # finite-pattern, don't require all-finite).
+                v_ok = all(
+                    bool(jnp.all(jnp.isfinite(x)))
                     for x in jax.tree_util.tree_leaves(new_model.sites.V)
                 )
-                if ok:
+                y_ok = bool(
+                    jnp.all(
+                        jnp.isfinite(new_model.sites.Y)
+                        == jnp.isfinite(model.sites.Y)
+                    )
+                )
+                if v_ok and y_ok:
                     model = new_model
                     break
-                lr_try *= 0.5  # ref: nan retry with shrunk step
+                lr_try *= 0.5  # ref `natgrad_trainer.py:267-287`: shrink+retry
             if callback:
                 callback(i, model, lr_try)
         return model

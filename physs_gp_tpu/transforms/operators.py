@@ -114,6 +114,14 @@ class StateObservation:
     heads: list = field(default_factory=list)
 
     def H(self, kernel) -> jnp.ndarray:
+        from ..ops.matrix import highest_precision
+
+        # full fp32 matmul precision: spatial-conditional weights solve
+        # against a near-singular Kzz — bf16 MXU inputs NaN the cholesky
+        # (this runs OUTSIDE the filters' own highest_precision scope).
+        return highest_precision(self._H_impl)(kernel)
+
+    def _H_impl(self, kernel) -> jnp.ndarray:
         blocks = []
         for h in self.heads:
             if hasattr(h, "rows"):
@@ -137,12 +145,16 @@ def s_identity(k, s, z):
 
 
 def s_grad(i: int):
-    """Row of ∂k_s/∂s_i in the first argument (curl-free / advection terms)."""
+    """Row of ∂k_s/∂s_i in the first argument (curl-free / advection terms).
+
+    Tagged with `.kind` so kernels exposing closed-form derivative
+    cross-covariances (`K_op`, e.g. RBF) bypass the autodiff path."""
     import jax
 
     def op(k, s, z):
         return jax.grad(lambda ss: k(ss, z))(s)[i]
 
+    op.kind = ("grad", i)
     return op
 
 
@@ -151,10 +163,14 @@ def s_laplacian(k, s, z):
 
     The autodiff-of-kernel construction is the reference's derivative-kernel
     idea (`kernels/diff_op.py:12`), applied only to the k(s*, Z) cross rows.
+    Kernels with closed forms (`K_op`) skip the nested hessian (see `.kind`).
     """
     import jax
 
     return jnp.trace(jax.hessian(lambda ss: k(ss, z))(s))
+
+
+s_laplacian.kind = "laplacian"
 
 
 @module

@@ -136,10 +136,12 @@ def nonlinear_ode_cvi_gp(
     t_np = np.asarray(t_data).ravel()
     tc_np = np.asarray(t_coll).ravel()
     # Y columns: data head observed at data times; remaining heads never
-    # directly observed (their sites exist only through the residual ELL).
+    # directly observed (they carry information only through the residual ELL,
+    # via active sites at the collocation rows). Collocation times are merged
+    # into the grid as NaN rows so `coll_mask` actually selects them.
     series = [(t_np, np.asarray(y_data).ravel())]
     for _ in range(n_heads - 1):
-        series.append((np.array([], dtype=np.float64), np.array([])))
+        series.append((tc_np, np.full(tc_np.size, np.nan)))
     t_all, Y = merge_time_grids(*series)
     coll_mask = jnp.asarray(np.isin(t_all, tc_np).astype(np.float64))
     obs = StateObservation(
