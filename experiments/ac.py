@@ -1,0 +1,112 @@
+"""Allen-Cahn experiment: nonlinear spatio-temporal physics CVI.
+
+Reproduces the reference's `experiments/ac` workload shape: u_t = ε Δu + u − u³
+on x ∈ [−1, 1]; noisy field data on the early time window only, the PDE
+enforced by collocation through the whole window (linear part as exact
+operator rows, u − u³ via the MC residual ELL); report extrapolation RMSE +
+NLPD vs a physics-off model (ref `experiments/ac/models/m_pigp.py:133-195`).
+
+Run: PYTHONPATH=/root/repo python experiments/ac.py [--quick]
+"""
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from experiments.common import Timer, dump_results, nlpd_gaussian, parse_args, rmse
+from physs_gp_tpu.kernels import Matern52
+from physs_gp_tpu.kernels.rbf import RBF
+from physs_gp_tpu.utils.params import positive_param
+from physs_gp_tpu.utils.struct import replace
+from physs_gp_tpu.zoo import allen_cahn_gp
+
+
+def simulate(eps, t_end, nx=101, nt=4001):
+    """Explicit FD solve with Neumann BCs."""
+    xs = np.linspace(-1, 1, nx)
+    dx = xs[1] - xs[0]
+    dt = t_end / (nt - 1)
+    u = 0.5 * np.sin(0.5 * np.pi * xs)
+    U = [u.copy()]
+    for _ in range(nt - 1):
+        uxx = np.zeros_like(u)
+        uxx[1:-1] = (u[2:] - 2 * u[1:-1] + u[:-2]) / dx ** 2
+        uxx[0], uxx[-1] = uxx[1], uxx[-2]
+        u = u + dt * (eps * uxx + u - u ** 3)
+        U.append(u.copy())
+    return xs, np.array(U)
+
+
+def main():
+    args = parse_args("ac")
+    rng = np.random.default_rng(args.seed)
+    eps, t_end, cut = 0.08, 3.5, 1.0
+    T = 36 if args.quick else 56
+    iters = 150 if args.quick else 600
+    Ns, Nc = (8, 8) if args.quick else (10, 12)
+
+    xs, U = simulate(eps, t_end)
+    t = np.linspace(0, t_end, T)
+    Z = np.linspace(-0.9, 0.9, Ns)[:, None]
+    coll = np.linspace(-0.9, 0.9, Nc)[:, None]
+    nt = U.shape[0]
+    it = np.clip((t / t_end * (nt - 1)).astype(int), 0, nt - 1)
+    F = np.array([np.interp(Z[:, 0], xs, U[k]) for k in it])
+    Y = F + 0.02 * rng.normal(size=F.shape)
+    Y[t > cut, :] = np.nan  # physics must carry the later window
+
+    def train(m):
+        step = jax.jit(lambda mm: mm.step_with_elbo(0.5, hessian="gauss_newton"))
+        with Timer() as tm:
+            for _ in range(iters):
+                m, e = step(m)
+            final = float(e)
+        return m, final, tm.seconds
+
+    def build():
+        return allen_cahn_gp(
+            t, Y, Z, coll, epsilon=eps,
+            k_time=Matern52(lengthscale=0.8, variance=1.0),
+            k_space=RBF(lengthscales=positive_param(jnp.array([0.6])),
+                        variance=positive_param(1.0)),
+            noise=0.02 ** 2, coll_noise=1e-5, n_mc=16 if args.quick else 32,
+        )
+
+    m_on, elbo_on, t_on = train(build())
+    m_off = build()
+    nc = m_off.likelihood.residual  # zero out the physics for the baseline
+    m_off = replace(m_off, likelihood=replace(
+        m_off.likelihood,
+        residual=replace(nc, fn=lambda f: jnp.zeros(f.shape[:-1] + (Nc,), f.dtype)),
+    ))
+    m_off, _, _ = train(m_off)
+
+    later = t > cut + 0.1
+    p_on, p_off = m_on.posterior(), m_off.posterior()
+    results = {
+        "config": {"quick": args.quick, "eps": eps, "T": T, "iters": iters},
+        "metrics": {
+            "rmse_extrap_physics_on": rmse(
+                np.asarray(p_on.mean)[later][:, :Ns], F[later]
+            ),
+            "rmse_extrap_physics_off": rmse(
+                np.asarray(p_off.mean)[later][:, :Ns], F[later]
+            ),
+            "nlpd_extrap_physics_on": nlpd_gaussian(
+                np.asarray(p_on.mean)[later][:, :Ns],
+                np.asarray(p_on.var)[later][:, :Ns],
+                F[later],
+            ),
+            "final_elbo": elbo_on,
+        },
+        "meta": {"training_time": t_on},
+    }
+    dump_results(args.out, "ac", results)
+
+
+if __name__ == "__main__":
+    main()

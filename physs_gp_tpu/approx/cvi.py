@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.matrix import _cholesky_any, mat_inv, symmetrize
+from ..ops.matrix import mat_inv, symmetrize
 from ..utils.struct import module
 
 __all__ = ["Sites", "init_sites", "to_natural", "from_natural", "natgrad_update"]
@@ -87,11 +87,7 @@ def from_natural(lam1, lam2, nan_mask=None) -> Sites:
     )
     eps = _MIN_PREC * scale
     prec = prec + eps[..., None, None] * jnp.eye(p, dtype=prec.dtype)
-    L = _cholesky_any(prec)
-    eye = jnp.broadcast_to(jnp.eye(p, dtype=prec.dtype), prec.shape)
-    from ..ops.matrix import cholesky_solve as _chs
-
-    V = _chs(L, eye)
+    V = mat_inv(prec, jitter=0.0)  # already floored — no extra jitter
     Y = jnp.einsum("tij,tj->ti", V, lam1)
     if nan_mask is not None:
         Y = jnp.where(nan_mask, jnp.nan, Y)

@@ -34,17 +34,22 @@ __all__ = ["SpatioTemporalKernel"]
 
 @module
 class SpatioTemporalKernel(Kernel):
-    """k_t (Markov) x k_s over fixed spatial sites Z.
+    """k_t (Markov) x k_s over spatial sites Z.
 
-    Z is a plain array field (trainable inducing locations can be added by
-    promoting it to a Param later; the reference's SpatialSparsity
-    `sparsity/sparsity.py:65` keeps Z trainable — we train Z via the pytree
-    when the user passes a traced array).
+    Z may be a plain array (fixed sites — gridded data) or a `Param`
+    (TRAINABLE inducing locations, the reference's SpatialSparsity
+    `sparsity/sparsity.py:65`: optimisers then move Z jointly with the
+    hyperparameters while data stays at its own fixed locations via
+    `SpatialHead(points=X_data, correction=True)`).
     """
 
     k_time: object
     k_space: object
-    Z: jnp.ndarray  # [Ns, ds] spatial sites carrying the state
+    Z: object  # [Ns, ds] spatial sites carrying the state (array or Param)
+
+    @property
+    def sites(self) -> jnp.ndarray:
+        return self.Z.value if hasattr(self.Z, "value") else self.Z
 
     # ---- dense (batch) kernel interface ----
     def k_scalar(self, x1, x2):
@@ -56,7 +61,7 @@ class SpatioTemporalKernel(Kernel):
     # ---- state-space interface ----
     @property
     def n_sites(self) -> int:
-        return self.Z.shape[0]
+        return self.sites.shape[0]
 
     @property
     def temporal_state_dim(self) -> int:
@@ -66,7 +71,7 @@ class SpatioTemporalKernel(Kernel):
         """Spatial gram with RELATIVE jitter: dense grids under smooth RBF
         kernels are near-singular, and the lifted P0 = Kzz ⊗ Pinf_t inherits
         the conditioning — in fp32 this NaNs the filter without it."""
-        K = self.k_space.K(self.Z, self.Z)
+        K = self.k_space.K(self.sites, self.sites)
         scale = jnp.mean(jnp.diagonal(K))
         eps = 100.0 * default_jitter(K.dtype)
         return K + eps * scale * jnp.eye(K.shape[0], dtype=K.dtype)
@@ -101,16 +106,16 @@ class SpatioTemporalKernel(Kernel):
 
         s_new = jnp.atleast_2d(s_new)
         if s_op is None:
-            Ksz = self.k_space.K(s_new, self.Z)  # [N*, Ns]
+            Ksz = self.k_space.K(s_new, self.sites)  # [N*, Ns]
         elif hasattr(s_op, "kind") and hasattr(self.k_space, "K_op"):
             # closed-form derivative cross-covariance (RBF): one batched
             # expression — vastly fewer XLA ops than the nested-autodiff
             # fallback, and bf16-safe (no tiny-op chains)
-            Ksz = self.k_space.K_op(s_new, self.Z, s_op.kind)
+            Ksz = self.k_space.K_op(s_new, self.sites, s_op.kind)
         else:
             Ksz = jax.vmap(
                 lambda s: jax.vmap(lambda z: s_op(self.k_space.k_scalar, s, z))(
-                    self.Z
+                    self.sites
                 )
             )(s_new)
         L = safe_cholesky(self.Kzz())
@@ -123,7 +128,7 @@ class SpatioTemporalKernel(Kernel):
         off-grid spatial points (time-independent for separable kernels)."""
         s_new = jnp.atleast_2d(s_new)
         w = self.spatial_weights(s_new)
-        Ksz = self.k_space.K(s_new, self.Z)
+        Ksz = self.k_space.K(s_new, self.sites)
         kss = self.k_space.K_diag(s_new)
         resid = jnp.maximum(kss - jnp.sum(w * Ksz, axis=-1), 0.0)
         kt0 = self.k_time.K_diag(jnp.zeros((1, 1), s_new.dtype))[0]

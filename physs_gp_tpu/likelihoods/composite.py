@@ -34,9 +34,11 @@ _LOG2PI = math.log(2.0 * math.pi)
 class NonlinearResidual:
     """Pseudo-observation 0 = g(f_heads) + eps, eps ~ N(0, noise_var).
 
-    `fn` maps the head vector [..., p] -> residual [...]; evaluated by MC
-    with n_mc reparameterised samples from the full block q(f_t) = N(m_t, S_t)
-    so head correlations enter the expectation.
+    `fn` maps the head vector [..., p] -> residual: scalar [...] (one
+    residual per time step — ODEs) or vector [..., C] (one per collocation
+    point — PDEs like Allen-Cahn, ref `transforms/pdes.py:223` AllenCahn).
+    Evaluated by MC with n_mc reparameterised samples from the full block
+    q(f_t) = N(m_t, S_t) so head correlations enter the expectation.
     """
 
     noise_var: Param = field(default_factory=lambda: positive_param(1e-3))
@@ -58,10 +60,13 @@ class NonlinearResidual:
     def ell(self, mask, m, S):
         """mask: [T] 1.0 where the residual is enforced; m [T,p]; S [T,p,p]."""
         f = self._samples(m, S)
-        r = self.fn(f)  # [n, T]
+        r = self.fn(f)  # [n, T] or [n, T, C]
         nv = self.noise_var.value
         ll = -0.5 * (_LOG2PI + jnp.log(nv) + r * r / nv)
-        return jnp.sum(jnp.where(mask > 0, jnp.mean(ll, axis=0), 0.0))
+        ll = jnp.mean(ll, axis=0)  # [T] or [T, C]
+        if ll.ndim == 2:
+            ll = jnp.sum(ll, axis=-1)
+        return jnp.sum(jnp.where(mask > 0, ll, 0.0))
 
     def gauss_newton_grads(self, mask, m, S):
         """(g1, g2) of the residual ELL with the Gauss-Newton Hessian.
@@ -78,13 +83,21 @@ class NonlinearResidual:
         goes indefinite.
         """
         f = self._samples(m, S)  # [n, T, p]
-        r = self.fn(f)  # [n, T]
-        J = jax.vmap(jax.vmap(jax.grad(self.fn)))(f)  # [n, T, p]
+        r = self.fn(f)  # [n, T] or [n, T, C]
         nv = self.noise_var.value
-        g1 = -jnp.mean(r[..., None] * J, axis=0) / nv  # [T, p]
-        g2 = -0.5 * jnp.mean(
-            J[..., :, None] * J[..., None, :], axis=0
-        ) / nv  # [T, p, p]
+        if r.ndim == 3:
+            # vector residual: J [n, T, C, p]; sum GN terms over C
+            J = jax.vmap(jax.vmap(jax.jacfwd(self.fn)))(f)
+            g1 = -jnp.mean(jnp.einsum("ntc,ntcp->ntp", r, J), axis=0) / nv
+            g2 = -0.5 * jnp.mean(
+                jnp.einsum("ntcp,ntcq->ntpq", J, J), axis=0
+            ) / nv
+        else:
+            J = jax.vmap(jax.vmap(jax.grad(self.fn)))(f)  # [n, T, p]
+            g1 = -jnp.mean(r[..., None] * J, axis=0) / nv  # [T, p]
+            g2 = -0.5 * jnp.mean(
+                J[..., :, None] * J[..., None, :], axis=0
+            ) / nv  # [T, p, p]
         g1 = jnp.where(mask[:, None] > 0, g1, 0.0)
         g2 = jnp.where(mask[:, None, None] > 0, g2, 0.0)
         return g1, g2

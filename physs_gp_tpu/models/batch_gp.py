@@ -39,10 +39,21 @@ class BatchGP:
     Y: jnp.ndarray  # [N, P] (NaN = missing)
     kernel: object
     likelihood: object
+    mean: object = None  # optional Mean (or list per output; means/mean.py)
 
     @property
     def n_outputs(self) -> int:
         return getattr(self.kernel, "n_outputs", 1)
+
+    def _mu(self, X) -> jnp.ndarray | None:
+        """[N, P] prior-mean values, or None (zero mean)."""
+        if self.mean is None:
+            return None
+        means = (
+            self.mean if isinstance(self.mean, (list, tuple))
+            else [self.mean] * self.n_outputs
+        )
+        return jnp.stack([m(X) for m in means], axis=1)
 
     def _noise_diag(self, N: int) -> jnp.ndarray:
         """Flattened per-entry noise variances [N*P] (data-major)."""
@@ -54,7 +65,9 @@ class BatchGP:
 
     def _masked_chol(self):
         N = self.X.shape[0]
-        yf = self.Y.reshape(-1)
+        mu = self._mu(self.X)
+        Yc = self.Y if mu is None else self.Y - mu
+        yf = Yc.reshape(-1)
         mask = jnp.isfinite(yf).astype(self.X.dtype)
         K = self.kernel.K(self.X, self.X)
         Ky = K + jnp.diag(self._noise_diag(N))
@@ -86,13 +99,18 @@ class BatchGP:
         A = solve_lower(L, Kxs)  # [N*P, Ns*P]
         alpha = solve_lower(L, y0[:, None])
         mean = (A.T @ alpha)[:, 0]
+        mu_s = self._mu(Xs)
         if full_cov:
             Kss = self.kernel.K(Xs, Xs)
             cov = Kss - A.T @ A
-            return mean.reshape(-1, P), cov
+            mean = mean.reshape(-1, P)
+            return (mean if mu_s is None else mean + mu_s), cov
         kd = self.kernel.K_diag(Xs)
         var = kd - jnp.sum(A * A, axis=0)
-        return GaussianMoments(mean=mean.reshape(-1, P), var=var.reshape(-1, P))
+        mean = mean.reshape(-1, P)
+        if mu_s is not None:
+            mean = mean + mu_s
+        return GaussianMoments(mean=mean, var=var.reshape(-1, P))
 
     def predict_y(self, Xs) -> GaussianMoments:
         f = self.predict_f(Xs)

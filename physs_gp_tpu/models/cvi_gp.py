@@ -23,9 +23,16 @@ from ..approx.cvi import Sites, init_sites, natgrad_update
 from ..likelihoods.gaussian import BlockDiagonalGaussian
 from ..likelihoods.nongaussian import expected_log_lik
 from ..ops.gaussian import mask_covariance, masked_mvn_logpdf
-from ..ops.lgssm import build_lgssm
+from ..ops.lgssm import build_lgssm, project_cov, project_mean
 from ..ops.runner import run_filter_smoother
-from ..ops.matrix import cholesky_solve, diag_from_XDXT, log_det_from_chol, safe_cholesky, solve_lower
+from ..ops.matrix import (
+    cholesky_solve,
+    diag_from_XDXT,
+    log_det_from_chol,
+    psd_solve,
+    safe_cholesky,
+    solve_lower,
+)
 from ..utils.struct import module, replace, static
 from .ssgp import GaussianMoments
 
@@ -42,6 +49,7 @@ class CVIGP:
     likelihood: object  # non-conjugate data likelihood (elementwise)
     sites: Sites
     observation: object = None  # optional StateObservation (physics heads)
+    mean: object = None  # optional prior Mean (see means/mean.py)
     parallel: bool = static(default=False)
     sqrt: bool = static(default=False)
     chunk_size: object = static(default=None)
@@ -50,9 +58,9 @@ class CVIGP:
 
     # ---- construction ----
     @classmethod
-    def init(cls, t, Y, kernel, likelihood, observation=None, parallel=False,
-             sqrt=False, chunk_size=None, site_var: float = 1.0, mesh=None,
-             mesh_axis: str = "t"):
+    def init(cls, t, Y, kernel, likelihood, observation=None, mean=None,
+             parallel=False, sqrt=False, chunk_size=None,
+             site_var: float = 1.0, mesh=None, mesh_axis: str = "t"):
         # Likelihoods with residual terms widen the active-site mask so
         # never-directly-observed heads still carry sites (full-state-observed
         # surrogate, ref `conjugate_gaussian_approximate_posterior.py:174`).
@@ -68,6 +76,7 @@ class CVIGP:
             likelihood=likelihood,
             sites=init_sites(Y, site_var, active=active),
             observation=observation,
+            mean=mean,
             parallel=parallel,
             sqrt=sqrt,
             chunk_size=chunk_size,
@@ -89,14 +98,40 @@ class CVIGP:
             chunk_size=self.chunk_size, mesh=self.mesh,
             mesh_axis=self.mesh_axis,
         )
-        m = s.ms @ ssm.H.T  # [T, p]
-        S = jnp.einsum("pi,tij,qj->tpq", ssm.H, s.Ps, ssm.H)  # [T, p, p]
+        m = project_mean(ssm.H, s.ms)  # [T, p]
+        S = project_cov(ssm.H, s.Ps)  # [T, p, p]
         return f.lml, m, S
 
     # ---- ELL terms ----
+    def _mu(self) -> jnp.ndarray | None:
+        """Prior mean μ [T, p] at the heads; the zero-mean surrogate carries
+        the deviation and the data likelihood sees f = f₀ + μ (the reference
+        shifts the likelihood, not the sites)."""
+        if self.mean is None:
+            return None
+        from ..means.mean import head_mean_values
+
+        return head_mean_values(
+            self.mean, self.t, observation=self.observation,
+            p=self.Y.shape[1],
+        )
+
     def _ell_data(self, m, S):
         from ..likelihoods.composite import CompositeLikelihood
 
+        mu = self._mu()
+        if mu is not None:
+            m = m + mu
+        if self.observation is not None:
+            corr = self.observation.var_correction(self.kernel)
+            if corr is not None:
+                # off-site heads: q(f(s)) marginal var = H P H^T + ρ(s)
+                # (spatial conditional inside the ELL, ref
+                # `computation/spatial_conditionals.py:30`); the surrogate
+                # filter and the site ELL see the state heads directly.
+                T, p = m.shape
+                corr = jnp.broadcast_to(corr, (T, p))
+                S = S + jax.vmap(jnp.diag)(corr)
         if isinstance(self.likelihood, CompositeLikelihood):
             return self.likelihood.expected_log_lik_blocks(self.Y, m, S)
         v = jnp.diagonal(S, axis1=-2, axis2=-1)
@@ -115,9 +150,8 @@ class CVIGP:
         # trace term over the active sub-block: mask V (unit diag on inactive)
         # and zero S's inactive rows/cols.
         Vm = mask_covariance(self.sites.V, ok)
-        Lm = safe_cholesky(Vm)
         Sm = S * (ok[..., :, None] * ok[..., None, :])
-        tr = jnp.trace(cholesky_solve(Lm, Sm), axis1=-2, axis2=-1)
+        tr = jnp.trace(psd_solve(Vm, Sm), axis1=-2, axis2=-1)
         return jnp.sum(logpdf) - 0.5 * jnp.sum(tr)
 
     # ---- public API ----
@@ -160,6 +194,9 @@ class CVIGP:
 
     def posterior(self) -> GaussianMoments:
         _, m, S = self._surrogate_pass()
+        mu = self._mu()
+        if mu is not None:
+            m = m + mu
         return GaussianMoments(mean=m, var=jnp.diagonal(S, axis1=-2, axis2=-1))
 
     def predict_f(self, t_new) -> GaussianMoments:
@@ -178,7 +215,16 @@ class CVIGP:
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
         )
-        return surrogate.predict_f(t_new)
+        out = surrogate.predict_f(t_new)
+        if self.mean is not None:
+            from ..means.mean import head_mean_values
+
+            mu_new = head_mean_values(
+                self.mean, jnp.ravel(t_new), observation=self.observation,
+                p=self.Y.shape[1],
+            )
+            out = GaussianMoments(mean=out.mean + mu_new, var=out.var)
+        return out
 
     def predict_y(self, t_new, gh_points: int = 20) -> GaussianMoments:
         """Moment-matched predictive p(y*) (ref `y_predictors.py`)."""

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..likelihoods.gaussian import Gaussian
-from ..ops.lgssm import build_lgssm
+from ..ops.lgssm import build_lgssm, project_mean, project_var
 from ..ops.runner import run_filter, run_filter_smoother
 from ..ops.matrix import diag_from_XDXT
 from ..utils.struct import module, static
@@ -38,11 +38,25 @@ class StateSpaceGP:
     kernel: object
     likelihood: object
     observation: object = None  # optional StateObservation (physics heads)
+    mean: object = None  # optional Mean (or list per head; means/mean.py)
     parallel: bool = static(default=False)
     sqrt: bool = static(default=False)  # square-root (QR) filtering, fp32-robust
     chunk_size: object = static(default=None)
     mesh: object = static(default=None)  # jax.sharding.Mesh: time-axis sharding
     mesh_axis: str = static(default="t")
+
+    def _mu(self, t=None) -> jnp.ndarray | None:
+        """Prior-mean matrix μ [T, p] at the heads, or None for zero mean.
+        Inference runs on the centred residual Y − μ (ref `means/mean.py`:
+        the prior mean shifts the observed process by L[μ])."""
+        if self.mean is None:
+            return None
+        from ..means.mean import head_mean_values
+
+        return head_mean_values(
+            self.mean, self.t if t is None else t,
+            observation=self.observation, p=self.Y.shape[1],
+        )
 
     # ---- internals ----
     def _filter_inputs(self):
@@ -50,21 +64,31 @@ class StateSpaceGP:
         if self.observation is not None:
             ssm = ssm._replace(H=self.observation.H(self.kernel))
         T = self.Y.shape[0]
-        p = ssm.H.shape[0]
+        p = ssm.H.shape[-2]
         R = self.likelihood.R(T, p)
+        if self.observation is not None:
+            corr = self.observation.var_correction(self.kernel)
+            if corr is not None:
+                # off-site heads: conditional-variance residual folded into
+                # the observation noise (exact sparse marginal; see
+                # transforms.operators.SpatialHead.var_correction)
+                corr = jnp.broadcast_to(corr, (T, p))
+                R = R + jax.vmap(jnp.diag)(corr)
         return ssm, R
 
     # ---- public API (mirrors ref `core/models.py:108-118` surface) ----
     def log_marginal_likelihood(self) -> jnp.ndarray:
         ssm, R = self._filter_inputs()
+        mu = self._mu()
+        Yc = self.Y if mu is None else self.Y - mu
         if self.mesh is not None:
             f, _ = run_filter_smoother(
-                ssm, R, self.Y, sqrt=self.sqrt, chunk_size=self.chunk_size,
+                ssm, R, Yc, sqrt=self.sqrt, chunk_size=self.chunk_size,
                 mesh=self.mesh, mesh_axis=self.mesh_axis,
             )
         else:
             f, _ = run_filter(
-                ssm, R, self.Y, parallel=self.parallel, sqrt=self.sqrt,
+                ssm, R, Yc, parallel=self.parallel, sqrt=self.sqrt,
                 chunk_size=self.chunk_size,
             )
         return f.lml
@@ -74,8 +98,11 @@ class StateSpaceGP:
 
     def filter_smooth(self, Y=None):
         ssm, R = self._filter_inputs()
+        if Y is None:
+            mu = self._mu()
+            Y = self.Y if mu is None else self.Y - mu
         f, s = run_filter_smoother(
-            ssm, R, self.Y if Y is None else Y, parallel=self.parallel,
+            ssm, R, Y, parallel=self.parallel,
             sqrt=self.sqrt, chunk_size=self.chunk_size, mesh=self.mesh,
             mesh_axis=self.mesh_axis,
         )
@@ -84,8 +111,15 @@ class StateSpaceGP:
     def posterior(self) -> GaussianMoments:
         """Smoothed q(f) marginals at the training times: [T, p] mean/var."""
         ssm, _, s = self.filter_smooth()
-        mean = s.ms @ ssm.H.T
-        var = jax.vmap(lambda P: diag_from_XDXT(ssm.H, P))(s.Ps)
+        mean = project_mean(ssm.H, s.ms)
+        var = project_var(ssm.H, s.Ps)
+        mu = self._mu()
+        if mu is not None:
+            mean = mean + mu
+        if self.observation is not None:
+            corr = self.observation.var_correction(self.kernel)
+            if corr is not None:
+                var = var + corr
         return GaussianMoments(mean=mean, var=var)
 
     def posterior_blocks(self):
@@ -100,8 +134,10 @@ class StateSpaceGP:
         n_new = t_new.shape[0]
         T, p = self.Y.shape
         t_all = jnp.concatenate([self.t, t_new])
+        mu = self._mu()
+        Yc = self.Y if mu is None else self.Y - mu
         Y_all = jnp.concatenate(
-            [self.Y, jnp.full((n_new, p), jnp.nan, self.Y.dtype)]
+            [Yc, jnp.full((n_new, p), jnp.nan, self.Y.dtype)]
         )
         # pad the observation covariance with identity blocks at test points
         # (masked anyway; ref `models/sde_gp.py:493` get_likelihood_for_prediction)
@@ -120,6 +156,8 @@ class StateSpaceGP:
         var = jax.vmap(lambda P: diag_from_XDXT(ssm.H, P))(s.Ps)[inv][
             self.t.shape[0]:
         ]
+        if mu is not None:
+            mean = mean + self._mu(t=t_new)
         return GaussianMoments(mean=mean, var=var)
 
     def predict_y(self, t_new: jnp.ndarray) -> GaussianMoments:

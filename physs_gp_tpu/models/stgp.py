@@ -51,7 +51,7 @@ class SpatioTemporalGP:
         """t [T]; Y_grid [T, Ns] observations on the kernel's spatial sites Z
         (NaN = missing). extra_heads: additional observation heads (physics);
         extra_Y [T, n_extra] their targets (0 for residuals; NaN = off)."""
-        heads = [SpatialHead(points=st_kernel.Z)]
+        heads = [SpatialHead(points=st_kernel.sites)]
         Y = Y_grid
         if extra_heads:
             heads = heads + list(extra_heads)

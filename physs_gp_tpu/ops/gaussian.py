@@ -12,7 +12,13 @@ import math
 
 import jax.numpy as jnp
 
-from .matrix import log_det_from_chol, safe_cholesky, solve_lower, symmetrize
+from .matrix import (
+    log_det_from_chol,
+    psd_solve_logdet,
+    safe_cholesky,
+    solve_lower,
+    symmetrize,
+)
 
 __all__ = [
     "mvn_logpdf",
@@ -61,11 +67,12 @@ def masked_mvn_logpdf(
     y = jnp.where(obs_mask > 0, jnp.nan_to_num(y), 0.0)
     mean = mean * obs_mask
     cov_m = mask_covariance(cov, obs_mask)
-    L = safe_cholesky(cov_m)
-    alpha = solve_lower(L, (y - mean)[..., None])[..., 0]
-    maha = jnp.sum(alpha * alpha, -1)
+    diff = y - mean
+    # fused solve+logdet (Pallas lane-batched on TPU for [T, d<=40, d])
+    alpha, logdet = psd_solve_logdet(cov_m, diff[..., None])
+    maha = jnp.sum(diff * alpha[..., 0], -1)
     n_obs = jnp.sum(obs_mask, -1)
-    return -0.5 * (maha + log_det_from_chol(L) + n_obs * _LOG2PI)
+    return -0.5 * (maha + logdet + n_obs * _LOG2PI)
 
 
 def gaussian_kl(

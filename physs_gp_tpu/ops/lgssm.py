@@ -13,7 +13,13 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-__all__ = ["LGSSM", "build_lgssm"]
+__all__ = [
+    "LGSSM",
+    "build_lgssm",
+    "project_mean",
+    "project_var",
+    "project_cov",
+]
 
 
 class LGSSM(NamedTuple):
@@ -51,3 +57,31 @@ def _build_lgssm_impl(kernel, t, noise_matrix, to_ss, transition_matrix):
     A = transition_matrix(kernel, dt)  # [T, d, d]
     Q = noise_matrix(kernel, dt)
     return LGSSM(A=A, Q=Q, H=ss.H, m0=ss.minf, P0=ss.Pinf)
+
+
+# ---------------------------------------------------------------------------
+# State → observation-space projections that accept STATIC [p, d] or
+# TIME-VARYING [T, p, d] observation matrices (scattered / moving-sensor
+# data produces the latter; ref `data/data.py:727` TemporallyGroupedData).
+# ---------------------------------------------------------------------------
+
+
+def project_mean(H: jnp.ndarray, ms: jnp.ndarray) -> jnp.ndarray:
+    """[T, p] head means from smoothed state means ms [T, d]."""
+    if H.ndim == 2:
+        return ms @ H.T
+    return jnp.einsum("tpd,td->tp", H, ms)
+
+
+def project_var(H: jnp.ndarray, Ps: jnp.ndarray) -> jnp.ndarray:
+    """[T, p] head variances (diagonal) from state covariances Ps [T, d, d]."""
+    if H.ndim == 2:
+        return jnp.einsum("pi,tij,pj->tp", H, Ps, H)
+    return jnp.einsum("tpi,tij,tpj->tp", H, Ps, H)
+
+
+def project_cov(H: jnp.ndarray, Ps: jnp.ndarray) -> jnp.ndarray:
+    """[T, p, p] full head covariances from state covariances Ps [T, d, d]."""
+    if H.ndim == 2:
+        return jnp.einsum("pi,tij,qj->tpq", H, Ps, H)
+    return jnp.einsum("tpi,tij,tqj->tpq", H, Ps, H)

@@ -23,6 +23,9 @@ __all__ = [
     "cholesky_solve",
     "solve_lower",
     "solve_upper",
+    "gen_solve",
+    "psd_solve",
+    "psd_solve_logdet",
     "mat_inv",
     "block_diag",
     "get_block_diagonal",
@@ -151,9 +154,132 @@ def cholesky_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 
 
 def mat_inv(A: jnp.ndarray, jitter: float = DEFAULT_JITTER) -> jnp.ndarray:
-    L = safe_cholesky(A, jitter)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
-    return cholesky_solve(L, eye)
+    return psd_solve(A, eye, jitter)
+
+
+# ---------------------------------------------------------------------------
+# Batched SPD solves with a Pallas fast path.
+#
+# XLA's batched small-matrix cholesky/triangular-solve run d sequential steps
+# of lane-wasteful [B, d, d] updates — measured ~10x off attainable speed for
+# the filter's [T, 32, 32] blocks. The lane-batched Gauss-Jordan kernels
+# (ops/pallas/batched_linalg.py) do the whole solve in one VMEM-resident pass.
+# custom_vjp (solve calculus: dX = A^-1 (dB - dA X), dlogdet = tr(A^-1 dA))
+# both keeps reverse-mode AD working through the Pallas call and is cheaper
+# than differentiating a factorization.
+# ---------------------------------------------------------------------------
+
+
+def _psd_solve_primal(A, B):
+    from .pallas.batched_linalg import batch_solve, use_pallas_linalg
+
+    if use_pallas_linalg(A.shape) and B.ndim == 3:
+        return batch_solve(A, B)
+    return cholesky_solve(_cholesky_any(A), B)
+
+
+def _psd_solve_logdet_primal(A, B):
+    from .pallas.batched_linalg import batch_solve_logdet, use_pallas_linalg
+
+    if use_pallas_linalg(A.shape) and B.ndim == 3:
+        return batch_solve_logdet(A, B)
+    L = _cholesky_any(A)
+    return cholesky_solve(L, B), log_det_from_chol(L)
+
+
+@jax.custom_vjp
+def _psd_solve(A, B):
+    return _psd_solve_primal(A, B)
+
+
+def _psd_solve_fwd(A, B):
+    X = _psd_solve_primal(A, B)
+    return X, (A, X)
+
+
+def _psd_solve_bwd(res, ct):
+    A, X = res
+    W = _psd_solve_primal(A, ct)  # A symmetric: A^-T = A^-1
+    A_bar = -jnp.einsum("...ir,...jr->...ij", W, X)
+    return A_bar, W
+
+
+_psd_solve.defvjp(_psd_solve_fwd, _psd_solve_bwd)
+
+
+@jax.custom_vjp
+def _psd_solve_logdet(A, B):
+    return _psd_solve_logdet_primal(A, B)
+
+
+def _psd_solve_logdet_fwd(A, B):
+    X, ld = _psd_solve_logdet_primal(A, B)
+    return (X, ld), (A, X)
+
+
+def _psd_solve_logdet_bwd(res, cts):
+    A, X = res
+    ct_X, ct_ld = cts
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    rhs = jnp.concatenate([ct_X, eye], axis=-1)
+    sol = _psd_solve_primal(A, rhs)
+    W, Ainv = sol[..., : ct_X.shape[-1]], sol[..., ct_X.shape[-1] :]
+    A_bar = -jnp.einsum("...ir,...jr->...ij", W, X)
+    A_bar = A_bar + ct_ld[..., None, None] * Ainv
+    return A_bar, W
+
+
+_psd_solve_logdet.defvjp(_psd_solve_logdet_fwd, _psd_solve_logdet_bwd)
+
+
+def _gen_solve_primal(A, B):
+    from .pallas.batched_linalg import batch_solve, use_pallas_linalg
+
+    if use_pallas_linalg(A.shape) and B.ndim == 3:
+        return batch_solve(A, B)
+    return jnp.linalg.solve(A, B)
+
+
+@jax.custom_vjp
+def gen_solve(A, B):
+    """Differentiable batched solve for GENERAL (non-symmetric) well-
+    conditioned A — e.g. the filtering combine's identity-dominated
+    (I + C J). Pallas Gauss-Jordan on TPU, LU fallback elsewhere."""
+    return _gen_solve_primal(A, B)
+
+
+def _gen_solve_fwd(A, B):
+    X = _gen_solve_primal(A, B)
+    return X, (A, X)
+
+
+def _gen_solve_bwd(res, ct):
+    A, X = res
+    W = _gen_solve_primal(jnp.swapaxes(A, -1, -2), ct)
+    A_bar = -jnp.einsum("...ir,...jr->...ij", W, X)
+    return A_bar, W
+
+
+gen_solve.defvjp(_gen_solve_fwd, _gen_solve_bwd)
+
+
+def psd_solve(A: jnp.ndarray, B: jnp.ndarray,
+              jitter: float | None = DEFAULT_JITTER) -> jnp.ndarray:
+    """Solve (sym(A) + jitter I) X = B for batched SPD A.
+
+    Pallas lane-batched Gauss-Jordan on TPU for [B >= 256, d <= 40, d]
+    shapes, batched-cholesky fallback elsewhere; differentiable via the
+    solve-calculus custom VJP either way."""
+    return _psd_solve(add_jitter(symmetrize(A), jitter), B)
+
+
+def psd_solve_logdet(A: jnp.ndarray, B: jnp.ndarray,
+                     jitter: float | None = DEFAULT_JITTER):
+    """(X, log det) of the jittered SPD solve — one fused pass on TPU
+    (replaces cholesky + 2 triangular solves + log-diag reduction in the
+    masked Gaussian logpdfs)."""
+    return _psd_solve_logdet(add_jitter(symmetrize(A), jitter), B)
 
 
 def block_diag(*blocks: jnp.ndarray) -> jnp.ndarray:

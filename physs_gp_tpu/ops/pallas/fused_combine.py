@@ -26,9 +26,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_filtering_combine", "use_fused_combine"]
+__all__ = [
+    "fused_filtering_combine",
+    "fused_smoothing_combine",
+    "use_fused_combine",
+]
 
 _LANES = 128
+
+# Flipped to True by tests to run the kernels via the Pallas interpreter on
+# CPU (numerical equivalence vs the einsum combine without TPU hardware).
+_INTERPRET = False
 
 
 def use_fused_combine(shape, d_min: int = 8, d_max: int = 36) -> bool:
@@ -136,6 +144,72 @@ def _combine_kernel(
     J_out[:] = 0.5 * (J + jnp.swapaxes(J, 0, 1))
 
 
+def _smoothing_kernel(
+    Ej_ref, gj_ref, Lj_ref, Ei_ref, gi_ref, Li_ref,
+    E_out, g_out, L_out, *, d: int,
+):
+    """Fused smoothing combine (ej later-suffix, ei earlier):
+    E = Ei Ej, g = Ei gj + gi, L = Ei Lj Ei^T + Li."""
+    Ej, Lj, gj = Ej_ref[:], Lj_ref[:], gj_ref[:]
+    Ei, Li, gi = Ei_ref[:], Li_ref[:], gi_ref[:]
+    E_out[:] = _mm(Ei, Ej, d)
+    g_out[:] = gi + _mv(Ei, gj, d)
+    L = Li + _mmBT(_mm(Ei, Lj, d), Ei, d)
+    L_out[:] = 0.5 * (L + jnp.swapaxes(L, 0, 1))
+
+
+@jax.custom_vjp
+def fused_smoothing_combine(ej, ei):
+    """Fused Pallas smoothing combine; backward recomputes via einsums."""
+    return _fused_smoothing_combine_impl(ej, ei)
+
+
+def _fused_smooth_fwd(ej, ei):
+    return _fused_smoothing_combine_impl(ej, ei), (ej, ei)
+
+
+def _fused_smooth_bwd(res, ct):
+    ej, ei = res
+    from ..parallel_kalman import _smoothing_operator_xla
+
+    _, vjp = jax.vjp(_smoothing_operator_xla, ej, ei)
+    return vjp(ct)
+
+
+fused_smoothing_combine.defvjp(_fused_smooth_fwd, _fused_smooth_bwd)
+
+
+def _fused_smoothing_combine_impl(ej, ei):
+    B0, d, _ = ej.E.shape
+    pad = (-B0) % _LANES
+    Bp = B0 + pad
+    dtype = ej.E.dtype
+    Ej, Lj, Ei, Li = [
+        _to_lanes(x, B0, pad, True) for x in (ej.E, ej.L, ei.E, ei.L)
+    ]
+    gj, gi = [_to_lanes(x, B0, pad, False) for x in (ej.g, ei.g)]
+    grid = (Bp // _LANES,)
+    mspec = pl.BlockSpec((d, d, _LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((d, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+    E, g, L = pl.pallas_call(
+        functools.partial(_smoothing_kernel, d=d),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, d, Bp), dtype),
+            jax.ShapeDtypeStruct((d, Bp), dtype),
+            jax.ShapeDtypeStruct((d, d, Bp), dtype),
+        ),
+        grid=grid,
+        in_specs=[mspec, vspec, mspec, mspec, vspec, mspec],
+        out_specs=(mspec, vspec, mspec),
+        interpret=_INTERPRET,
+    )(Ej, gj, Lj, Ei, gi, Li)
+    out_m = lambda x: jnp.transpose(x, (2, 0, 1))[:B0]
+    out_v = lambda x: jnp.transpose(x, (1, 0))[:B0]
+    return type(ej)(E=out_m(E), g=out_v(g), L=out_m(L))
+
+
 def _to_lanes(x, B0, pad, is_matrix):
     if pad:
         fill = jnp.zeros((pad,) + x.shape[1:], x.dtype)
@@ -148,20 +222,38 @@ def _to_lanes(x, B0, pad, is_matrix):
     return jnp.transpose(x, (1, 0))
 
 
+@jax.custom_vjp
 def fused_filtering_combine(ei, ej):
     """Combine two batches of filtering elements in one fused kernel.
 
-    ei/ej: NamedTuples with fields A,b,C,J,eta shaped [B,d,d]/[B,d]."""
+    ei/ej: NamedTuples with fields A,b,C,J,eta shaped [B,d,d]/[B,d].
+    Backward pass recomputes through the einsum combine (Pallas kernels have
+    no automatic transpose; the combine's VJP is rarely hot — only
+    hyperparameter training differentiates through the filter)."""
+    return _fused_filtering_combine_impl(ei, ej)
+
+
+def _fused_combine_fwd(ei, ej):
+    return _fused_filtering_combine_impl(ei, ej), (ei, ej)
+
+
+def _fused_combine_bwd(res, ct):
+    ei, ej = res
+    from ..parallel_kalman import _filtering_operator_xla
+
+    _, vjp = jax.vjp(_filtering_operator_xla, ei, ej)
+    return vjp(ct)
+
+
+fused_filtering_combine.defvjp(_fused_combine_fwd, _fused_combine_bwd)
+
+
+def _fused_filtering_combine_impl(ei, ej):
     B0, d, _ = ei.A.shape
     pad = (-B0) % _LANES
     Bp = B0 + pad
     dtype = ei.A.dtype
 
-    mats = []
-    vecs = []
-    for e in (ei, ej):
-        mats += [e.A, e.C, e.J]
-        vecs += [e.b, e.eta]
     Ai, Ci, Ji, Aj, Cj, Jj = [
         _to_lanes(x, B0, pad, True) for x in (ei.A, ei.C, ei.J, ej.A, ej.C, ej.J)
     ]
@@ -187,6 +279,7 @@ def fused_filtering_combine(ei, ej):
         in_specs=[mspec, vspec, mspec, mspec, vspec,
                   mspec, vspec, mspec, mspec, vspec],
         out_specs=(mspec, vspec, mspec, mspec, vspec),
+        interpret=_INTERPRET,
     )(Ai, bi, Ci, Ji, etai, Aj, bj, Cj, Jj, etaj)
     out_m = lambda x: jnp.transpose(x, (2, 0, 1))[:B0]
     out_v = lambda x: jnp.transpose(x, (1, 0))[:B0]

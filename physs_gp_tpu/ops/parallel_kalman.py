@@ -31,7 +31,13 @@ import jax.numpy as jnp
 
 from .gaussian import mask_covariance, masked_mvn_logpdf
 from .kalman import FilterResult, SmootherResult, observation_mask
-from .matrix import cholesky_solve, highest_precision, safe_cholesky, symmetrize
+from .matrix import (
+    cholesky_solve,
+    highest_precision,
+    psd_solve,
+    safe_cholesky,
+    symmetrize,
+)
 
 __all__ = ["parallel_kalman_filter", "parallel_rts_smoother"]
 
@@ -62,19 +68,24 @@ def _build_filter_elements(A, Q, H, R, y, mask, m0, P0) -> _FilterElems:
 
     HP = jnp.einsum("tij,tjk->tik", Hm, P_loc)  # [T, p, d]
     S = mask_covariance(jnp.einsum("tij,tkj->tik", HP, Hm) + R, mask)
-    Ls = safe_cholesky(S)
-    K = jnp.swapaxes(cholesky_solve(Ls, HP), -1, -2)  # [T, d, p]
+    vres = y0 - jnp.einsum("tpj,tj->tp", Hm, m_loc)  # [T, p]
+    # ONE batched SPD solve for all three right-hand sides (Pallas GJ on TPU;
+    # XLA's chol + 3 triangular solves is the hottest single cost otherwise):
+    rhs = jnp.concatenate([HP, vres[..., None], Hm], axis=-1)  # [T, p, 2d+1]
+    sol = psd_solve(S, rhs)
+    SinvHP = sol[..., :d]  # S^-1 H P
+    Sinv_v = sol[..., d]  # S^-1 vres
+    SinvH = sol[..., d + 1 :]  # S^-1 H
+    K = jnp.swapaxes(SinvHP, -1, -2)  # [T, d, p] = P H^T S^-1
     ImKH = jnp.eye(d, dtype=dtype) - jnp.einsum("tip,tpj->tij", K, Hm)
 
     A_out = jnp.einsum("tij,tjk->tik", ImKH, A)
-    b_out = m_loc + jnp.einsum("tip,tp->ti", K, y0 - jnp.einsum("tpj,tj->tp", Hm, m_loc))
+    b_out = m_loc + jnp.einsum("tip,tp->ti", K, vres)
     C_out = symmetrize(jnp.einsum("tij,tjk->tik", ImKH, P_loc))
 
     # eta = A^T H^T S^-1 (y - H m_loc);  J = A^T H^T S^-1 H A
-    Sinv_v = cholesky_solve(Ls, (y0 - jnp.einsum("tpj,tj->tp", Hm, m_loc))[..., None])[..., 0]
     HtSinv_v = jnp.einsum("tpj,tp->tj", Hm, Sinv_v)
     eta = jnp.einsum("tji,tj->ti", A, HtSinv_v)
-    SinvH = cholesky_solve(Ls, Hm)  # [T, p, d]
     HtSinvH = jnp.einsum("tpi,tpj->tij", Hm, SinvH)
     J = symmetrize(jnp.einsum("tji,tjk,tkl->til", A, HtSinvH, A))
 
@@ -101,26 +112,41 @@ def _inv2(M):
 
 def _batched_inverse(M):
     """inv(M) for [.., d, d]: adjugate for d=2, Pallas lane-batched
-    Gauss-Jordan for small d on TPU (4x XLA's batched LU), LU otherwise."""
+    Gauss-Jordan for small d on TPU (4x XLA's batched LU), LU otherwise —
+    differentiable via gen_solve's custom VJP."""
     d = M.shape[-1]
     if d == 2:
         return _inv2(M)
-    from .pallas.batched_linalg import batch_solve, use_pallas_linalg
+    from .matrix import gen_solve
 
     eye_b = jnp.broadcast_to(jnp.eye(d, dtype=M.dtype), M.shape)
-    if use_pallas_linalg(M.shape):
-        return batch_solve(M, eye_b)
-    return jnp.linalg.solve(M, eye_b)
+    return gen_solve(M, eye_b)
 
 
 def _filtering_operator(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
     """Associative combine of filtering elements (Särkkä & G-F eq. 10).
+
+    On TPU at mid-size d the whole combine runs as ONE fused Pallas kernel in
+    batch-on-lanes layout (every intermediate in VMEM, all 128 lanes busy);
+    its backward pass recomputes through this einsum implementation.
 
     One batched inverse per combine: (I + J_j C_i)^-1 = ((I + C_i J_j)^-1)^T
     for symmetric C, J, so the second inverse is the transpose of the first —
     the batched inverse is the dominant cost of the whole parallel filter on
     TPU (~4x a batched matmul at d ~ 32), so this halves the combine.
     """
+    from .pallas.fused_combine import fused_filtering_combine, use_fused_combine
+
+    if (
+        ei.A.ndim == 3
+        and ei.A.shape == ej.A.shape
+        and use_fused_combine(ei.A.shape)
+    ):
+        return fused_filtering_combine(ei, ej)
+    return _filtering_operator_xla(ei, ej)
+
+
+def _filtering_operator_xla(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
     d = ei.A.shape[-1]
     eye = jnp.eye(d, dtype=ei.A.dtype)
     ICJ = eye + jnp.einsum("...ij,...jk->...ik", ei.C, ej.J)
@@ -216,7 +242,21 @@ class _SmootherElems(NamedTuple):
 
 
 def _smoothing_operator(ej: _SmootherElems, ei: _SmootherElems) -> _SmootherElems:
-    """Combine for the reverse scan: result(i ∘ j) with i earlier than j."""
+    """Combine for the reverse scan: result(i ∘ j) with i earlier than j.
+
+    Fused Pallas kernel on TPU for mid-size d (see _filtering_operator)."""
+    from .pallas.fused_combine import fused_smoothing_combine, use_fused_combine
+
+    if (
+        ej.E.ndim == 3
+        and ej.E.shape == ei.E.shape
+        and use_fused_combine(ej.E.shape)
+    ):
+        return fused_smoothing_combine(ej, ei)
+    return _smoothing_operator_xla(ej, ei)
+
+
+def _smoothing_operator_xla(ej: _SmootherElems, ei: _SmootherElems) -> _SmootherElems:
     E = jnp.einsum("...ij,...jk->...ik", ei.E, ej.E)
     g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
     L = symmetrize(jnp.einsum("...ij,...jk,...lk->...il", ei.E, ej.L, ei.E) + ei.L)
@@ -239,22 +279,26 @@ def parallel_rts_smoother(
     T, d = ms.shape
     dtype = Ps.dtype
 
-    # Elements for k < T-1 use (A_{k+1}, Q_{k+1}).
-    A_next, Q_next = A[1:], Q[1:]
-    P_f = Ps[:-1]
-    m_f = ms[:-1]
-    m_pred = jnp.einsum("tij,tj->ti", A_next, m_f)
-    P_pred = jnp.einsum("tij,tjk,tlk->til", A_next, P_f, A_next) + Q_next
-    Lp = safe_cholesky(P_pred)
+    # Elements for k < T-1 use (A_{k+1}, Q_{k+1}). Shift via jnp.roll at FULL
+    # length T, then overwrite the k = T-1 boundary — NEVER via A[1:]/Ps[:-1]
+    # offset slices: an offset-by-one leading slice fused into the downstream
+    # batched solve hits a pathological XLA-TPU path (measured 940 ms vs
+    # 57 ms at T=4k, d=32 — 16x — when composed with the in-graph filter).
+    # roll[-1] pairs A[0] = I, Q[0] = 0 with Ps[-1] (the dt_0 = 0 build
+    # convention), so the junk element stays well-conditioned before fixup.
+    A_next = jnp.roll(A, -1, axis=0)
+    Q_next = jnp.roll(Q, -1, axis=0)
+    m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
+    P_pred = jnp.einsum("tij,tjk,tlk->til", A_next, Ps, A_next) + Q_next
     E = jnp.swapaxes(
-        cholesky_solve(Lp, jnp.einsum("tij,tjk->tik", A_next, P_f)), -1, -2
+        psd_solve(P_pred, jnp.einsum("tij,tjk->tik", A_next, Ps)), -1, -2
     )
-    g = m_f - jnp.einsum("tij,tj->ti", E, m_pred)
-    L = symmetrize(P_f - jnp.einsum("tij,tjk,tlk->til", E, P_pred, E))
+    g = ms - jnp.einsum("tij,tj->ti", E, m_pred)
+    L = symmetrize(Ps - jnp.einsum("tij,tjk,tlk->til", E, P_pred, E))
 
-    E = jnp.concatenate([E, jnp.zeros((1, d, d), dtype)], axis=0)
-    g = jnp.concatenate([g, ms[-1:]], axis=0)
-    L = jnp.concatenate([L, Ps[-1:]], axis=0)
+    E = E.at[-1].set(jnp.zeros((d, d), dtype))
+    g = g.at[-1].set(ms[-1])
+    L = L.at[-1].set(Ps[-1])
     elems = _SmootherElems(E=E, g=g, L=L)
 
     # Run the suffix combine as FLIP + FORWARD scans + FLIP. reverse=True
@@ -291,8 +335,8 @@ def parallel_rts_smoother(
             lambda x: x.reshape((T,) + x.shape[2:]), scanned
         )
     scanned = jax.tree_util.tree_map(lambda x: x[::-1], scanned)
-    Gs = jnp.concatenate([E[:-1], jnp.zeros((1, d, d), dtype)], axis=0)
-    return SmootherResult(ms=scanned.g, Ps=symmetrize(scanned.L), Gs=Gs)
+    # lag-one gains: E already carries [E_0..E_{T-2}, 0] after the fixup
+    return SmootherResult(ms=scanned.g, Ps=symmetrize(scanned.L), Gs=E)
 
 def prefix_combine(op, elems, length: int):
     """Inclusive prefix combine (Hillis-Steele recursive doubling).

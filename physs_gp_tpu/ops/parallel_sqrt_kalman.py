@@ -294,16 +294,20 @@ def parallel_sqrt_rts_smoother(
     T, d = ms.shape
     dtype = Us.dtype
 
-    A_next, Qs_next = A[1:], Q_sqrt[1:]
-    U_f, m_f = Us[:-1], ms[:-1]
+    # Full-length roll shift (k -> k+1), boundary fixed up after — offset
+    # slices A[1:]/Us[:-1] fused into the downstream tria/solve hit a 16x
+    # pathological XLA-TPU path (see parallel_kalman.parallel_rts_smoother).
+    # roll[-1] pairs A[0] = I, Qs[0] = 0 with Us[-1]: well-conditioned junk.
+    A_next = jnp.roll(A, -1, axis=0)
+    Qs_next = jnp.roll(Q_sqrt, -1, axis=0)
     # pre-array per step: [[A U, Qs], [U, 0]] -> Pp^1/2, G Pp^1/2, Y22
     pre = jnp.concatenate(
         [
             jnp.concatenate(
-                [jnp.einsum("tij,tjk->tik", A_next, U_f), Qs_next], axis=-1
+                [jnp.einsum("tij,tjk->tik", A_next, Us), Qs_next], axis=-1
             ),
             jnp.concatenate(
-                [U_f, jnp.zeros((T - 1, d, d), dtype)], axis=-1
+                [Us, jnp.zeros((T, d, d), dtype)], axis=-1
             ),
         ],
         axis=-2,
@@ -320,12 +324,12 @@ def parallel_sqrt_rts_smoother(
         -1,
         -2,
     )
-    m_pred = jnp.einsum("tij,tj->ti", A_next, m_f)
-    g = m_f - jnp.einsum("tij,tj->ti", G, m_pred)
+    m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
+    g = ms - jnp.einsum("tij,tj->ti", G, m_pred)
 
-    E = jnp.concatenate([G, jnp.zeros((1, d, d), dtype)], axis=0)
-    g = jnp.concatenate([g, ms[-1:]], axis=0)
-    D = jnp.concatenate([Y22, Us[-1:]], axis=0)
+    E = G.at[-1].set(jnp.zeros((d, d), dtype))
+    g = g.at[-1].set(ms[-1])
+    D = Y22.at[-1].set(Us[-1])
     elems = _SqrtSmootherElems(E=E, g=g, D=D)
 
     # flip + forward scans (reverse=True is ~27x slower on TPU; see
@@ -360,5 +364,5 @@ def parallel_sqrt_rts_smoother(
             lambda x: x.reshape((T,) + x.shape[2:]), scanned
         )
     scanned = jax.tree_util.tree_map(lambda x: x[::-1], scanned)
-    Gs = jnp.concatenate([E[:-1], jnp.zeros((1, d, d), dtype)], axis=0)
-    return SmootherResult(ms=scanned.g, Ps=scanned.D, Gs=Gs)
+    # lag-one gains: E already carries [G_0..G_{T-2}, 0] after the fixup
+    return SmootherResult(ms=scanned.g, Ps=scanned.D, Gs=E)

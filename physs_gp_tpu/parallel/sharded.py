@@ -239,9 +239,9 @@ def sharded_filter_smoother(
         E_last = jnp.where(is_last, jnp.zeros((d, d), dtype), E_last)
         g_last = jnp.where(is_last, ms_l[-1], g_last)
         L_last = jnp.where(is_last, Ps_l[-1], L_last)
-        E = jnp.concatenate([E_l, E_last[None]], axis=0)
-        g = jnp.concatenate([g_l, g_last[None]], axis=0)
-        L = jnp.concatenate([L_l, L_last[None]], axis=0)
+        E = E_l.at[-1].set(E_last)
+        g = g_l.at[-1].set(g_last)
+        L = L_l.at[-1].set(L_last)
         selems = _SmootherElems(E=E, g=g, L=L)
         # FLIP + forward scan + FLIP instead of reverse=True: reverse scans
         # hit a 27x-slower TPU path (see ops/parallel_kalman.py:260-266);
@@ -275,17 +275,21 @@ def sharded_filter_smoother(
 
 
 def _smoother_elements_interior(A_l, Q_l, ms_l, Ps_l):
-    """Smoothing elements for local steps 0..n-2 (using local next (A,Q))."""
-    A_next, Q_next = A_l[1:], Q_l[1:]
-    P_f, m_f = Ps_l[:-1], ms_l[:-1]
-    m_pred = jnp.einsum("tij,tj->ti", A_next, m_f)
-    P_pred = jnp.einsum("tij,tjk,tlk->til", A_next, P_f, A_next) + Q_next
+    """Smoothing elements for local steps, FULL length n: the k -> k+1 shift
+    is a jnp.roll (offset slices A_l[1:]/Ps_l[:-1] fused into the batched
+    solve hit a 16x-slower XLA-TPU path — see
+    ops/parallel_kalman.parallel_rts_smoother). Element n-1 is junk (rolled
+    wrap-around) and must be overwritten by the caller's boundary element."""
+    A_next = jnp.roll(A_l, -1, axis=0)
+    Q_next = jnp.roll(Q_l, -1, axis=0)
+    m_pred = jnp.einsum("tij,tj->ti", A_next, ms_l)
+    P_pred = jnp.einsum("tij,tjk,tlk->til", A_next, Ps_l, A_next) + Q_next
     Lp = safe_cholesky(P_pred)
     E = jnp.swapaxes(
-        cholesky_solve(Lp, jnp.einsum("tij,tjk->tik", A_next, P_f)), -1, -2
+        cholesky_solve(Lp, jnp.einsum("tij,tjk->tik", A_next, Ps_l)), -1, -2
     )
-    g = m_f - jnp.einsum("tij,tj->ti", E, m_pred)
-    L = symmetrize(P_f - jnp.einsum("tij,tjk,tlk->til", E, P_pred, E))
+    g = ms_l - jnp.einsum("tij,tj->ti", E, m_pred)
+    L = symmetrize(Ps_l - jnp.einsum("tij,tjk,tlk->til", E, P_pred, E))
     return E, g, L
 
 
@@ -308,17 +312,19 @@ def _smoother_boundary_element(A_next0, Q_next0, m_last, P_last):
 
 
 def _sqrt_smoother_elements_interior(A_l, Qs_l, ms_l, Us_l):
-    """Sqrt smoothing elements for local steps 0..n-2 (next (A, Q_sqrt))."""
+    """Sqrt smoothing elements for local steps, FULL length n via jnp.roll
+    (same 16x offset-slice pathology as the covariance form — see
+    _smoother_elements_interior); element n-1 is junk the caller overwrites."""
     n, d = ms_l.shape
     dtype = Us_l.dtype
-    A_next, Qs_next = A_l[1:], Qs_l[1:]
-    U_f, m_f = Us_l[:-1], ms_l[:-1]
+    A_next = jnp.roll(A_l, -1, axis=0)
+    Qs_next = jnp.roll(Qs_l, -1, axis=0)
     pre = jnp.concatenate(
         [
             jnp.concatenate(
-                [jnp.einsum("tij,tjk->tik", A_next, U_f), Qs_next], axis=-1
+                [jnp.einsum("tij,tjk->tik", A_next, Us_l), Qs_next], axis=-1
             ),
-            jnp.concatenate([U_f, jnp.zeros((n - 1, d, d), dtype)], axis=-1),
+            jnp.concatenate([Us_l, jnp.zeros((n, d, d), dtype)], axis=-1),
         ],
         axis=-2,
     )
@@ -331,7 +337,7 @@ def _sqrt_smoother_elements_interior(A_l, Qs_l, ms_l, Us_l):
         ),
         -1, -2,
     )
-    g = m_f - jnp.einsum("tij,tj->ti", G, jnp.einsum("tij,tj->ti", A_next, m_f))
+    g = ms_l - jnp.einsum("tij,tj->ti", G, jnp.einsum("tij,tj->ti", A_next, ms_l))
     return G, g, Y22
 
 
@@ -430,9 +436,9 @@ def sharded_sqrt_filter_smoother(
         E_last = jnp.where(is_last, jnp.zeros((d, d), dtype), E_last)
         g_last = jnp.where(is_last, ms_l[-1], g_last)
         D_last = jnp.where(is_last, Us_l[-1], D_last)
-        E = jnp.concatenate([E_l, E_last[None]], axis=0)
-        g = jnp.concatenate([g_l, g_last[None]], axis=0)
-        D = jnp.concatenate([D_l, D_last[None]], axis=0)
+        E = E_l.at[-1].set(E_last)
+        g = g_l.at[-1].set(g_last)
+        D = D_l.at[-1].set(D_last)
         selems = _SqrtSmootherElems(E=E, g=g, D=D)
         sident = _SqrtSmootherElems(
             E=jnp.eye(d, dtype=dtype),

@@ -32,6 +32,10 @@ __all__ = [
     "DerivativeHead",
     "LinearOperatorHead",
     "StateObservation",
+    "SpatialHead",
+    "ScatteredSpatialHead",
+    "OperatorTerm",
+    "STOperatorHead",
 ]
 
 
@@ -128,7 +132,59 @@ class StateObservation:
                 blocks.append(h.rows(kernel))
             else:
                 blocks.append(h.row(kernel)[None, :])
+        if any(b.ndim == 3 for b in blocks):
+            # time-varying heads (scattered data): broadcast static blocks
+            # over T and stack to H [T, p, d]
+            T = next(b.shape[0] for b in blocks if b.ndim == 3)
+            blocks = [
+                b if b.ndim == 3 else jnp.broadcast_to(b, (T,) + b.shape)
+                for b in blocks
+            ]
+            return jnp.concatenate(blocks, axis=1)
         return jnp.concatenate(blocks, axis=0)
+
+    def var_correction(self, kernel):
+        """[p] or [T, p] conditional-variance correction per head row, or
+        None if every head reads the state exactly (on-site observations).
+
+        Off-site spatial heads observe f(s) whose conditional on the state
+        f(Z) leaves residual variance ρ(s) = k_t(0)(k_ss − k_sZ K_ZZ^{-1}
+        k_Zs); adding ρ to the observation noise gives the exact sparse
+        (DTC-style) marginal — the reference applies the same correction in
+        its spatial conditional (`computation/spatial_conditionals.py:30`,
+        `sparsity/sparsity.py:65` SpatialSparsity).
+        """
+        from ..ops.matrix import highest_precision
+
+        parts = []
+        any_corr = False
+        tv = any(
+            getattr(h, "points", None) is not None
+            and getattr(h, "points").ndim == 3
+            for h in self.heads
+        )
+        for h in self.heads:
+            if hasattr(h, "var_correction") and getattr(h, "correction", True):
+                c = highest_precision(h.var_correction)(kernel)
+                any_corr = True
+            elif hasattr(h, "rows"):
+                n = h.points.shape[-2]
+                c = jnp.zeros((n,)) if h.points.ndim == 2 else jnp.zeros(
+                    h.points.shape[:2]
+                )
+            else:
+                c = jnp.zeros((1,))
+            parts.append(c)
+        if not any_corr:
+            return None
+        if tv or any(p.ndim == 2 for p in parts):
+            T = next(p.shape[0] for p in parts if p.ndim == 2)
+            parts = [
+                p if p.ndim == 2 else jnp.broadcast_to(p, (T,) + p.shape)
+                for p in parts
+            ]
+            return jnp.concatenate(parts, axis=1)
+        return jnp.concatenate(parts, axis=0)
 
     @property
     def n_heads(self) -> int:
@@ -179,17 +235,64 @@ class SpatialHead(Head):
 
     row block = w ⊗ t_row with w = (L_s k_s)(s, Z) Kzz^{-1} (the Kronecker
     spatial conditional) and t_row the temporal derivative selector. Data on
-    the grid uses points == Z (w == I numerically)."""
+    the grid uses points == Z (w == I numerically).
+
+    `correction=True` (SpatialSparsity: data sites ≠ inducing sites Z, ref
+    `sparsity/sparsity.py:65`) adds the conditional-variance residual
+    ρ(s) = k_t(0)(k_ss − k_sZ K_ZZ^{-1} k_Zs) to the observation noise,
+    making the filter's marginal the exact sparse-GP (DTC) likelihood."""
 
     points: jnp.ndarray  # [N_h, ds]
     t_order: int = static(default=0)
     s_op: object = static(default=None)
+    correction: bool = static(default=False)
 
     def rows(self, kernel) -> jnp.ndarray:
         w = kernel.spatial_weights(self.points, self.s_op)  # [N_h, Ns]
         t_row = derivative_row(kernel.k_time, self.t_order)  # [d]
         N_h, Ns = w.shape
         return jnp.einsum("ns,d->nsd", w, t_row).reshape(N_h, Ns * t_row.shape[0])
+
+    def var_correction(self, kernel):
+        if not self.correction:
+            return jnp.zeros((self.points.shape[0],))
+        return kernel.conditional_var_correction(self.points)  # [N_h]
+
+
+@module
+class ScatteredSpatialHead(Head):
+    """Observe f at per-TIME-STEP spatial points (moving sensors / ragged
+    time groups, ref `data/data.py:727` TemporallyGroupedData).
+
+    points [T, Ng, ds] — e.g. `TemporallyGroupedData.X_st`. Produces a
+    time-varying observation matrix H [T, Ng, Ns·d] through the spatial
+    conditional at each step's points; NaN rows of Y mask the filler points.
+    The conditional-variance correction is on by default (scattered points
+    rarely coincide with Z)."""
+
+    points: jnp.ndarray  # [T, Ng, ds]
+    t_order: int = static(default=0)
+    s_op: object = static(default=None)
+    correction: bool = static(default=True)
+
+    def rows(self, kernel) -> jnp.ndarray:
+        import jax
+
+        w = jax.vmap(lambda p: kernel.spatial_weights(p, self.s_op))(
+            self.points
+        )  # [T, Ng, Ns] — Kzz chol is unbatched, hoisted out of the vmap
+        t_row = derivative_row(kernel.k_time, self.t_order)  # [d]
+        T, Ng, Ns = w.shape
+        return jnp.einsum("tns,d->tnsd", w, t_row).reshape(
+            T, Ng, Ns * t_row.shape[0]
+        )
+
+    def var_correction(self, kernel):
+        import jax
+
+        if not self.correction:
+            return jnp.zeros(self.points.shape[:2])
+        return jax.vmap(kernel.conditional_var_correction)(self.points)  # [T, Ng]
 
 
 @module

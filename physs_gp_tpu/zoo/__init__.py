@@ -1,4 +1,9 @@
-from .physics import monotonic_cvi_gp, nonlinear_ode_cvi_gp, ode_gp
-from .spatio_temporal import advection_diffusion_gp, st_gp
+from .physics import allen_cahn_gp, monotonic_cvi_gp, nonlinear_ode_cvi_gp, ode_gp
+from .spatio_temporal import (
+    advection_diffusion_gp,
+    scattered_st_gp,
+    sparse_st_gp,
+    st_gp,
+)
 from .phi_ml import curl_free_gp, helmholtz_gp
 from .dynamics import latent_force_gp, lorenz_gp, lotka_volterra_gp

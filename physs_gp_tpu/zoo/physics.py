@@ -31,7 +31,7 @@ from ..transforms.operators import (
 )
 from ..utils.params import Param, positive_param
 
-__all__ = ["ode_gp", "monotonic_cvi_gp", "nonlinear_ode_cvi_gp"]
+__all__ = ["ode_gp", "monotonic_cvi_gp", "nonlinear_ode_cvi_gp", "allen_cahn_gp"]
 
 
 def _param(v, fixed=False):
@@ -167,3 +167,105 @@ def nonlinear_ode_cvi_gp(
         parallel=parallel,
         chunk_size=chunk_size,
     )
+
+
+def allen_cahn_gp(
+    t,
+    Y_grid,
+    Z,
+    coll_points,
+    epsilon: float = 1e-2,
+    k_time=None,
+    k_space=None,
+    noise: float = 1e-2,
+    coll_noise: float = 1e-3,
+    n_mc: int = 32,
+    dtype=jnp.float64,
+    parallel: bool = False,
+    chunk_size=None,
+    site_var: float = 1.0,
+) -> CVIGP:
+    """Physics-informed ST CVI model for Allen-Cahn: ∂t u = ε Δu + u − u³.
+
+    Reference: `experiments/ac/models/m_pigp.py:133-195` + the AllenCahn
+    transform (`transforms/pdes.py:223`). The LINEAR part (∂t − εΔ) enters as
+    exact STOperatorHead rows; the nonlinearity u − u³ enters through the MC
+    residual ELL over the joint block posterior, with sites active on every
+    head at the collocation rows (full-state-observed surrogate).
+
+    Head layout: [Ns grid values | Nc collocation values | Nc linear rows];
+    residual_c = lin_c − u_c + u_c³ → 0.
+    """
+    from ..kernels.matern import Matern32
+    from ..kernels.rbf import RBF
+    from ..kernels.spatio_temporal import SpatioTemporalKernel
+    from ..transforms.operators import (
+        OperatorTerm,
+        STOperatorHead,
+        SpatialHead,
+        s_laplacian,
+    )
+
+    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    coll = jnp.asarray(np.atleast_2d(coll_points), dtype)
+    Ns, Nc = Z.shape[0], coll.shape[0]
+    T = np.asarray(t).shape[0]
+    kern = SpatioTemporalKernel(
+        k_time=k_time or Matern32(lengthscale=1.0, variance=1.0),
+        k_space=k_space or RBF(),
+        Z=Z,
+    )
+    eps_c = epsilon
+    neg_eps = (
+        -eps_c if not isinstance(eps_c, Param)
+        else _NegView(base=eps_c)
+    )
+    obs = StateObservation(heads=[
+        SpatialHead(points=Z),
+        SpatialHead(points=coll),
+        STOperatorHead(points=coll, terms=[
+            OperatorTerm(coeff=1.0, t_order=1),
+            OperatorTerm(coeff=neg_eps, s_op=s_laplacian),
+        ]),
+    ])
+    Y = jnp.concatenate([
+        jnp.asarray(Y_grid, dtype),
+        jnp.full((T, 2 * Nc), jnp.nan, dtype),
+    ], axis=1)
+
+    def residual(f):
+        u_c = f[..., Ns:Ns + Nc]
+        lin_c = f[..., Ns + Nc:]
+        return lin_c - u_c + u_c ** 3
+
+    lik = CompositeLikelihood(
+        heads=[Gaussian(variance=_param(noise)) for _ in range(Ns)]
+        + [Gaussian(variance=_param(1.0, fixed=True)) for _ in range(2 * Nc)],
+        residual=NonlinearResidual(
+            noise_var=_param(coll_noise, fixed=True), fn=residual, n_mc=n_mc
+        ),
+    )
+    return CVIGP.init(
+        t=jnp.asarray(np.ravel(t), dtype),
+        Y=Y,
+        kernel=kern,
+        likelihood=lik,
+        observation=obs,
+        parallel=parallel,
+        chunk_size=chunk_size,
+        site_var=site_var,
+    )
+
+
+from ..utils.struct import module as _module_
+
+
+@_module_
+class _NegView:
+    """A positive Param seen as its negation (trainable ε in −ε Δ terms)."""
+
+    base: Param
+
+    @property
+    def value(self):
+        return -self.base.value

@@ -25,9 +25,9 @@ from ..transforms.operators import (
     s_grad,
     s_laplacian,
 )
-from ..utils.params import Param, positive_param
+from ..utils.params import Param, param, positive_param
 
-__all__ = ["st_gp", "advection_diffusion_gp"]
+__all__ = ["st_gp", "advection_diffusion_gp", "sparse_st_gp", "scattered_st_gp"]
 
 
 def _param(v, fixed=False):
@@ -134,6 +134,117 @@ def advection_diffusion_gp(
         sqrt=sqrt,
         chunk_size=chunk_size,
     )
+
+
+def sparse_st_gp(
+    t,
+    Y,
+    X_space,
+    Z,
+    k_time=None,
+    k_space=None,
+    noise: float = 0.1,
+    dtype=jnp.float64,
+    train_z: bool = True,
+    parallel: bool = False,
+    sqrt: bool = False,
+    chunk_size=None,
+):
+    """SpatialSparsity ST GP: data at X_space [Nd, ds], state carried by
+    Ms ≪ Nd inducing sites Z (ref `sparsity/sparsity.py:65` SpatialSparsity,
+    `zoo/sde_diff.py:417`).
+
+    Observations read the state through the spatial conditional
+    w = K_xZ K_ZZ^{-1} with the conditional-variance residual folded into the
+    noise (exact DTC-style sparse marginal). `train_z=True` makes Z a Param —
+    optimisers move the inducing sites jointly with hyperparameters.
+    """
+    from ..models.ssgp import StateSpaceGP
+    from ..transforms.operators import SpatialHead, StateObservation
+
+    X_space = jnp.asarray(np.atleast_2d(X_space), dtype)
+    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    Nd = X_space.shape[0]
+    kern = SpatioTemporalKernel(
+        k_time=k_time or Matern32(lengthscale=1.0, variance=1.0),
+        k_space=k_space or RBF(),
+        Z=param(Z) if train_z else Z,
+    )
+    obs = StateObservation(
+        heads=[SpatialHead(points=X_space, correction=True)]
+    )
+    lik = _grid_gaussian(noise, Nd)
+    return StateSpaceGP(
+        t=jnp.asarray(np.ravel(t), dtype),
+        Y=jnp.asarray(Y, dtype),
+        kernel=kern,
+        likelihood=lik,
+        observation=obs,
+        parallel=parallel,
+        sqrt=sqrt,
+        chunk_size=chunk_size,
+    )
+
+
+def scattered_st_gp(
+    X,
+    Y,
+    Z=None,
+    n_inducing: int | None = None,
+    k_time=None,
+    k_space=None,
+    noise: float = 0.1,
+    dtype=jnp.float64,
+    train_z: bool = False,
+    parallel: bool = False,
+    sqrt: bool = False,
+    chunk_size=None,
+):
+    """Raw scattered sensor rows (t, s, y) end-to-end (BASELINE config 4).
+
+    Groups rows by time (`data.spatiotemporal.TemporallyGroupedData`, ref
+    `data/data.py:727`), pads ragged groups, and observes each step's points
+    through a time-varying spatial conditional (`ScatteredSpatialHead`).
+    Returns (model, data); map grid-shaped posteriors back to the input rows
+    with `data.unsort(...)`.
+
+    Z defaults to k-means centres of the spatial points (`n_inducing`, ref
+    `data/sequential.py:208` kmeans filler convention) or all unique points.
+    """
+    from scipy.cluster.vq import kmeans2
+
+    from ..data.spatiotemporal import TemporallyGroupedData
+    from ..models.ssgp import StateSpaceGP
+    from ..transforms.operators import ScatteredSpatialHead, StateObservation
+
+    data = TemporallyGroupedData.from_scattered(np.asarray(X), np.asarray(Y))
+    if Z is None:
+        pts = np.asarray(X)[:, 1:]
+        if n_inducing is not None and n_inducing < pts.shape[0]:
+            Z = kmeans2(pts, n_inducing, minit="points", seed=0)[0]
+        else:
+            Z = np.unique(pts, axis=0)
+    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    kern = SpatioTemporalKernel(
+        k_time=k_time or Matern32(lengthscale=1.0, variance=1.0),
+        k_space=k_space or RBF(),
+        Z=param(Z) if train_z else Z,
+    )
+    obs = StateObservation(
+        heads=[ScatteredSpatialHead(points=jnp.asarray(data.X_st, dtype))]
+    )
+    lik = _grid_gaussian(noise, data.Ng * data.P)
+    model = StateSpaceGP(
+        t=jnp.asarray(data.t, dtype),
+        Y=jnp.asarray(data.Y_flat, dtype),
+        kernel=kern,
+        likelihood=lik,
+        observation=obs,
+        parallel=parallel,
+        sqrt=sqrt,
+        chunk_size=chunk_size,
+    )
+    return model, data
 
 
 from ..utils.struct import module as _module

@@ -1,0 +1,187 @@
+"""Pallas kernel equivalence on CPU via the interpreter.
+
+The TPU fast paths (lane-batched Gauss-Jordan solves, the fused
+filtering/smoothing combines) are gated off on CPU, so the test suite would
+never execute the kernel bodies. Here we run them through the Pallas
+interpreter and check numerical equivalence against the XLA reference
+implementations, plus gradient correctness of the solve-calculus custom VJPs.
+
+Reference provenance: the combine being fused is the associative filtering
+operator of Särkkä & García-Fernández (reference
+`src/lib/stgp/computation/filters/parallel_kalman_filter.py`); the kernels
+themselves have no reference analogue (TPU-specific design).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from physs_gp_tpu.ops.pallas import batched_linalg as bl
+from physs_gp_tpu.ops.pallas import fused_combine as fc
+from physs_gp_tpu.ops.parallel_kalman import (
+    _FilterElems,
+    _SmootherElems,
+    _filtering_operator_xla,
+    _smoothing_operator_xla,
+)
+from physs_gp_tpu.ops.matrix import psd_solve, psd_solve_logdet, gen_solve
+
+
+def _spd(rng, B, d, dom=5.0):
+    A = rng.normal(size=(B, d, d))
+    return (A @ np.swapaxes(A, -1, -2) / d + dom * np.eye(d)).astype(np.float64)
+
+
+def test_batch_solve_interpret():
+    rng = np.random.default_rng(0)
+    B, d, r = 300, 7, 3  # non-multiple of 128 exercises lane padding
+    A = _spd(rng, B, d)
+    R = rng.normal(size=(B, d, r))
+    X = bl.batch_solve(jnp.asarray(A), jnp.asarray(R), interpret=True)
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(A, R), rtol=1e-9)
+
+
+def test_batch_solve_logdet_interpret():
+    rng = np.random.default_rng(1)
+    B, d, r = 200, 5, 2
+    A = _spd(rng, B, d)
+    R = rng.normal(size=(B, d, r))
+    X, ld = bl.batch_solve_logdet(jnp.asarray(A), jnp.asarray(R), interpret=True)
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(A, R), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ld), np.linalg.slogdet(A)[1], rtol=1e-10
+    )
+
+
+def test_batch_matmul_interpret():
+    rng = np.random.default_rng(2)
+    B, d = 140, 6
+    A = rng.normal(size=(B, d, d))
+    Bm = rng.normal(size=(B, d, d))
+    C = bl.batch_matmul(jnp.asarray(A), jnp.asarray(Bm), interpret=True)
+    np.testing.assert_allclose(np.asarray(C), A @ Bm, rtol=1e-12)
+
+
+def _rand_filter_elems(rng, B, d):
+    mk = lambda s=0.1: rng.normal(size=(B, d, d)) * s
+    spd = lambda: _spd(rng, B, d, dom=1.0) * 0.3
+    return _FilterElems(
+        A=jnp.asarray(mk()),
+        b=jnp.asarray(rng.normal(size=(B, d))),
+        C=jnp.asarray(spd()),
+        J=jnp.asarray(spd()),
+        eta=jnp.asarray(rng.normal(size=(B, d))),
+    )
+
+
+def test_fused_filtering_combine_interpret(monkeypatch):
+    monkeypatch.setattr(fc, "_INTERPRET", True)
+    rng = np.random.default_rng(3)
+    B, d = 130, 9
+    ei, ej = _rand_filter_elems(rng, B, d), _rand_filter_elems(rng, B, d)
+    out = fc.fused_filtering_combine(ei, ej)
+    ref = _filtering_operator_xla(ei, ej)
+    for name in out._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=1e-8, atol=1e-10, err_msg=name,
+        )
+
+
+def test_fused_filtering_combine_grad(monkeypatch):
+    monkeypatch.setattr(fc, "_INTERPRET", True)
+    rng = np.random.default_rng(4)
+    B, d = 128, 4
+    ei, ej = _rand_filter_elems(rng, B, d), _rand_filter_elems(rng, B, d)
+
+    def loss(op, e1, e2):
+        o = op(e1, e2)
+        return jnp.sum(o.b ** 2) + jnp.sum(o.C ** 2) + jnp.sum(o.eta * o.b)
+
+    g_f = jax.grad(lambda a, b: loss(fc.fused_filtering_combine, a, b),
+                   argnums=(0, 1))(ei, ej)
+    g_x = jax.grad(lambda a, b: loss(_filtering_operator_xla, a, b),
+                   argnums=(0, 1))(ei, ej)
+    for gf, gx in zip(jax.tree_util.tree_leaves(g_f),
+                      jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-7, atol=1e-9)
+
+
+def test_fused_smoothing_combine_interpret(monkeypatch):
+    monkeypatch.setattr(fc, "_INTERPRET", True)
+    rng = np.random.default_rng(5)
+    B, d = 150, 11
+    mk = lambda: rng.normal(size=(B, d, d)) * 0.2
+    se = lambda: _SmootherElems(
+        E=jnp.asarray(mk()),
+        g=jnp.asarray(rng.normal(size=(B, d))),
+        L=jnp.asarray(_spd(rng, B, d, dom=0.5)),
+    )
+    sj, si = se(), se()
+    out = fc.fused_smoothing_combine(sj, si)
+    ref = _smoothing_operator_xla(sj, si)
+    for name in out._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=1e-8, atol=1e-10, err_msg=name,
+        )
+
+
+def test_psd_solve_grads_match_builtin():
+    """The custom solve-calculus VJP must equal autodiff through cholesky."""
+    rng = np.random.default_rng(6)
+    B, d, r = 12, 5, 2
+    A = _spd(rng, B, d)
+    R = rng.normal(size=(B, d, r))
+
+    def f_custom(Aj):
+        return jnp.sum(psd_solve(Aj, jnp.asarray(R), jitter=None) ** 2)
+
+    def f_builtin(Aj):
+        sym = 0.5 * (Aj + jnp.swapaxes(Aj, -1, -2))
+        return jnp.sum(jnp.linalg.solve(sym, jnp.asarray(R)) ** 2)
+
+    gA = jax.grad(f_custom)(jnp.asarray(A))
+    gB = jax.grad(f_builtin)(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gB), rtol=1e-8)
+
+
+def test_psd_solve_logdet_grads_match_builtin():
+    rng = np.random.default_rng(7)
+    B, d, r = 8, 6, 3
+    A = _spd(rng, B, d)
+    R = rng.normal(size=(B, d, r))
+
+    def f_custom(Aj):
+        X, ld = psd_solve_logdet(Aj, jnp.asarray(R), jitter=None)
+        return jnp.sum(X ** 2) + 2.0 * jnp.sum(ld)
+
+    def f_builtin(Aj):
+        sym = 0.5 * (Aj + jnp.swapaxes(Aj, -1, -2))
+        X = jnp.linalg.solve(sym, jnp.asarray(R))
+        ld = jnp.linalg.slogdet(sym)[1]
+        return jnp.sum(X ** 2) + 2.0 * jnp.sum(ld)
+
+    gA = jax.grad(f_custom)(jnp.asarray(A))
+    gB = jax.grad(f_builtin)(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gB), rtol=1e-8)
+
+
+def test_gen_solve_grads_match_builtin():
+    rng = np.random.default_rng(8)
+    B, d = 10, 4
+    A = rng.normal(size=(B, d, d)) + 3 * np.eye(d)  # identity-dominated
+    R = rng.normal(size=(B, d, d))
+
+    def f_custom(Aj):
+        return jnp.sum(gen_solve(Aj, jnp.asarray(R)) ** 3)
+
+    def f_builtin(Aj):
+        return jnp.sum(jnp.linalg.solve(Aj, jnp.asarray(R)) ** 3)
+
+    gA = jax.grad(f_custom)(jnp.asarray(A))
+    gB = jax.grad(f_builtin)(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gB), rtol=1e-8)
