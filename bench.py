@@ -1,93 +1,190 @@
-"""Driver benchmark: parallel-scan Kalman filter+smoother+ELBO throughput.
+"""Driver benchmark: the BASELINE config-5 north-star workload.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Measured quantity (BASELINE.json driver metric): steps/sec of the fused
-(parallel-scan filter + smoother + ELBO + CVI natural-gradient site update)
-iteration of the paper's flagship model family — a variational state-space GP
-with non-Gaussian (Poisson) likelihood — at T = 100k steps on the TPU chip.
+Measured quantity: steps/sec of the full CVI iteration — parallel-scan
+filter + smoother + ELBO + natural-gradient site update — on the config-5
+workload (BASELINE.md): T = 100k irregular time steps, 2-D
+advection-diffusion PDE prior over a 4x4 spatial grid (state dim 32:
+16 sites x Matern-3/2), 16 grid observation heads + 16 PDE-residual
+collocation heads, fp32, chunked associative scans on the TPU chip.
 
 `vs_baseline` is the speedup over the same-math SEQUENTIAL `lax.scan`
 implementation on CPU (the reference's compute model: a single-device
-sequential Kalman recursion), measured in the same run at T = 20k and scaled
-linearly (sequential filtering is O(T) with a T-independent per-step cost).
+sequential Kalman recursion), measured at T = 2k in a subprocess that forces
+the CPU backend, scaled linearly (sequential filtering is O(T) with a
+T-independent per-step cost).
+
+Extra keys report the round-1 temporal workload (d=2 Matern-3/2 Poisson CVI)
+so both numbers stay visible to the driver history.
 """
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+T5 = 100_000
+CHUNK = 5000
 
-def _build(parallel, dtype, t_, y_, chunk):
+_CPU_SCRIPT = r"""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from physs_gp_tpu.models import CVIGP
+from bench import build_config5, build_temporal
+
+T_cpu = 2000
+m = build_config5(T_cpu, None, parallel=False)
+step = jax.jit(lambda mm: mm.step_with_elbo(0.5))
+m2, e = step(m)
+_ = float(e)
+t0 = time.perf_counter()
+for _ in range(3):
+    m2, e = step(m2)
+_ = float(e)
+dt5 = (time.perf_counter() - t0) / 3
+
+mt = build_temporal(T_cpu, None, parallel=False)
+step_t = jax.jit(lambda mm: mm.step_with_elbo(0.5))
+mt2, et = step_t(mt)
+_ = float(et)
+t0 = time.perf_counter()
+for _ in range(3):
+    mt2, et = step_t(mt2)
+_ = float(et)
+dtt = (time.perf_counter() - t0) / 3
+print(json.dumps({"c5_steps_per_sec": T_cpu / dt5,
+                  "temporal_steps_per_sec": T_cpu / dtt}))
+"""
+
+
+def build_config5(T, chunk, parallel=True, dtype=None):
+    import jax.numpy as jnp
+
+    from physs_gp_tpu.kernels import Matern32
+    from physs_gp_tpu.kernels.rbf import RBF
+    from physs_gp_tpu.kernels.spatio_temporal import SpatioTemporalKernel
+    from physs_gp_tpu.likelihoods.gaussian import IndependentGaussian
+    from physs_gp_tpu.models import CVIGP
+    from physs_gp_tpu.transforms.operators import (
+        OperatorTerm,
+        STOperatorHead,
+        SpatialHead,
+        StateObservation,
+        s_grad,
+        s_laplacian,
+    )
+    from physs_gp_tpu.utils.params import positive_param
+
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100, T)).astype(np.float32)
+    gx = np.linspace(0, 1, 4)
+    Z = np.stack(np.meshgrid(gx, gx), -1).reshape(-1, 2).astype(np.float32)
+    Ns = Z.shape[0]
+    coll = (Z + 0.5 * (gx[1] - gx[0]))[:Ns]
+    Nc = coll.shape[0]
+    Y = np.concatenate(
+        [rng.normal(size=(T, Ns)).astype(np.float32),
+         np.zeros((T, Nc), np.float32)], axis=1,
+    )
+    kern = SpatioTemporalKernel(
+        k_time=Matern32(lengthscale=jnp.asarray(5.0, dtype),
+                        variance=jnp.asarray(1.0, dtype)),
+        k_space=RBF(lengthscales=positive_param(jnp.asarray(0.5, dtype)),
+                    variance=positive_param(jnp.asarray(1.0, dtype))),
+        Z=jnp.asarray(Z, dtype),
+    )
+    obs = StateObservation(heads=[
+        SpatialHead(points=jnp.asarray(Z, dtype)),
+        STOperatorHead(points=jnp.asarray(coll, dtype), terms=[
+            OperatorTerm(coeff=1.0, t_order=1),
+            OperatorTerm(coeff=-0.1, s_op=s_laplacian),
+            OperatorTerm(coeff=0.2, s_op=s_grad(0)),
+            OperatorTerm(coeff=0.1, s_op=s_grad(1)),
+        ]),
+    ])
+    lik = IndependentGaussian(
+        variances=[positive_param(jnp.asarray(0.1, dtype))] * Ns
+        + [positive_param(jnp.asarray(1e-3, dtype)).fix()] * Nc
+    )
+    return CVIGP.init(jnp.asarray(t), jnp.asarray(Y), kern, lik,
+                      observation=obs, parallel=parallel, chunk_size=chunk)
+
+
+def build_temporal(T, chunk, parallel=True, dtype=None):
     import jax.numpy as jnp
 
     from physs_gp_tpu.kernels import Matern32
     from physs_gp_tpu.likelihoods import Poisson
     from physs_gp_tpu.models import CVIGP
 
-    return CVIGP.init(
-        jnp.asarray(t_, dtype),
-        jnp.asarray(y_, dtype)[:, None],
-        Matern32(lengthscale=jnp.asarray(10.0, dtype),
-                 variance=jnp.asarray(1.0, dtype)),
-        Poisson(),
-        parallel=parallel,
-        chunk_size=chunk,
-    )
-
-
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    T = 100_000
+    dtype = dtype or jnp.float32
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 1000, T)).astype(np.float32)
     f = 1.2 * np.sin(0.1 * t)
     y = rng.poisson(np.exp(f)).astype(np.float32)
+    return CVIGP.init(
+        jnp.asarray(t, dtype), jnp.asarray(y, dtype)[:, None],
+        Matern32(lengthscale=jnp.asarray(10.0, dtype),
+                 variance=jnp.asarray(1.0, dtype)),
+        Poisson(), parallel=parallel, chunk_size=chunk,
+    )
 
-    # --- TPU parallel-scan CVI iteration (single fused graph) ---
-    m = _build(True, jnp.float32, t, y, chunk=5000)
 
-    @jax.jit
-    def step(model):
-        return model.step_with_elbo(0.5)
+def _time_steps(step, m, n):
+    import jax.numpy as jnp
 
     m2, e = step(m)
-    _ = float(e)  # host sync (block_until_ready is unreliable on this relay)
-    n_iter = 10
+    _ = float(e)  # host sync (block_until_ready lies through the axon relay)
     t0 = time.perf_counter()
-    for _ in range(n_iter):
+    for _ in range(n):
         m2, e = step(m2)
     _ = float(e)
-    tpu_step_s = (time.perf_counter() - t0) / n_iter
-    steps_per_sec = T / tpu_step_s
+    return (time.perf_counter() - t0) / n
 
-    # --- CPU sequential reference (same math, lax.scan) at smaller T ---
-    T_cpu = 20_000
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        mc = jax.device_put(
-            _build(False, jnp.float32, t[:T_cpu], y[:T_cpu], None), cpu
-        )
-        step_cpu = jax.jit(lambda model: model.step_with_elbo(0.5))
-        mc2, ec = step_cpu(mc)
-        _ = float(ec)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            mc2, ec = step_cpu(mc2)
-        _ = float(ec)
-        cpu_step_s = (time.perf_counter() - t0) / 3
-    cpu_steps_per_sec = T_cpu / cpu_step_s
+
+def main():
+    import jax
+
+    # --- TPU config-5 north star ---
+    m5 = build_config5(T5, CHUNK)
+    step5 = jax.jit(lambda mm: mm.step_with_elbo(0.5))
+    dt5 = _time_steps(step5, m5, 5)
+    c5_sps = T5 / dt5
+
+    # --- TPU temporal workload (round-1 metric, kept) ---
+    mt = build_temporal(T5, CHUNK)
+    stept = jax.jit(lambda mm: mm.step_with_elbo(0.5))
+    dtt = _time_steps(stept, mt, 5)
+    t_sps = T5 / dtt
+
+    # --- CPU sequential reference in a forced-CPU subprocess ---
+    out = subprocess.run(
+        [sys.executable, "-c", _CPU_SCRIPT], capture_output=True, text=True,
+        timeout=3000,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    cpu = json.loads(line)
 
     print(
         json.dumps(
             {
-                "metric": "parallel-scan KF+RTS+ELBO+natgrad steps/sec "
-                          "(T=100k CVI Poisson state-space GP, TPU fp32)",
-                "value": round(steps_per_sec, 1),
+                "metric": "config-5 CVI step steps/sec (T=100k 2D "
+                          "advection-diffusion ST PDE, state dim 32, 32 heads, "
+                          "parallel-scan KF+RTS+ELBO+natgrad, TPU fp32)",
+                "value": round(c5_sps, 1),
                 "unit": "steps/sec",
-                "vs_baseline": round(steps_per_sec / cpu_steps_per_sec, 2),
+                "vs_baseline": round(c5_sps / cpu["c5_steps_per_sec"], 2),
+                "temporal_steps_per_sec": round(t_sps, 1),
+                "temporal_vs_baseline": round(
+                    t_sps / cpu["temporal_steps_per_sec"], 2
+                ),
             }
         )
     )

@@ -14,6 +14,13 @@ import pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
+
+# fp64 like the reference's AC experiment: the 1e-5 collocation noise +
+# MC block sampling exceed fp32 headroom (TPU fp32 NaNs; use the sqrt path
+# + coll_noise >= 1e-4 if porting this workload to TPU)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -7,7 +7,7 @@ from .base import (
     SumKernel,
     WhiteNoise,
 )
-from .markov import MarkovKernel, StateSpace, to_ss, transition_matrix
+from .markov import MarkovKernel, StackedMarkov, StateSpace, to_ss, transition_matrix
 from .matern import Matern, Matern12, Matern32, Matern52, Matern72
 from .rbf import RBF
 from .spatio_temporal import SpatioTemporalKernel

@@ -23,7 +23,7 @@ from ..ops.matrix import block_diag, kron, lyapunov_solve, symmetrize
 from ..utils.struct import module, static
 from .base import Kernel, ProductKernel, SumKernel
 
-__all__ = ["StateSpace", "MarkovKernel", "to_ss", "transition_matrix", "stationary_noise"]
+__all__ = ["StateSpace", "MarkovKernel", "StackedMarkov", "to_ss", "transition_matrix", "stationary_noise"]
 
 
 @module
@@ -176,3 +176,41 @@ def solve_pinf(F: jnp.ndarray, L: jnp.ndarray, Qc: jnp.ndarray) -> jnp.ndarray:
     """Stationary covariance from the Lyapunov equation."""
     Qfull = L @ Qc @ L.T
     return lyapunov_solve(F, Qfull)
+
+
+@module
+class StackedMarkov(MarkovKernel):
+    """Q INDEPENDENT latent Markov GPs observed as Q separate heads.
+
+    Counterpart of the reference's `Independent` prior transform over latent
+    GPs (`transforms/transform.py` Independent, used by e.g. the covariance
+    regression priors `transforms/covariance.py:21`): states compose
+    block-diagonally like SumKernel, but H is BLOCK-DIAGONAL (one row per
+    latent) instead of the sum of rows — the filters see a [Q, D] observation
+    matrix and models get Q output heads.
+    """
+
+    parts: list
+
+    def to_ss(self) -> StateSpace:
+        ps = [to_ss(k) for k in self.parts]
+        return StateSpace(
+            F=block_diag(*[p.F for p in ps]),
+            L=block_diag(*[p.L for p in ps]),
+            Qc=block_diag(*[p.Qc for p in ps]),
+            H=block_diag(*[p.H for p in ps]),
+            Pinf=block_diag(*[p.Pinf for p in ps]),
+            minf=jnp.concatenate([p.minf for p in ps], axis=-1),
+        )
+
+    def transition(self, dt: jnp.ndarray) -> jnp.ndarray:
+        return _batched_block_diag(
+            [transition_matrix(k, dt) for k in self.parts]
+        )
+
+    def noise_cov(self, dt: jnp.ndarray) -> jnp.ndarray:
+        return _batched_block_diag([noise_matrix(k, dt) for k in self.parts])
+
+    @property
+    def n_outputs(self) -> int:
+        return len(self.parts)

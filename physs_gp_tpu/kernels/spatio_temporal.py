@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.lgssm import LGSSM
-from ..ops.matrix import default_jitter, kron, safe_cholesky, symmetrize
+from ..ops.matrix import default_jitter, kron, kron_lift, safe_cholesky, symmetrize
 from ..utils.struct import field, module, static
 from .base import Kernel
 from .markov import noise_matrix, to_ss, transition_matrix
@@ -86,8 +86,11 @@ class SpatioTemporalKernel(Kernel):
         Ns = self.n_sites
         eye_s = jnp.eye(Ns, dtype=A_t.dtype)
         Ks = self.Kzz()
-        A = kron(eye_s, A_t)  # [T, Ns*d, Ns*d]
-        Q = kron(Ks, Q_t)
+        # gather-based lift: the broadcast kron's [T, Ns, d, Ns, d]
+        # intermediate OOMs TPU compilation at T ~ 100k (see
+        # ops.matrix.kron_lift)
+        A = kron_lift(eye_s, A_t)  # [T, Ns*d, Ns*d]
+        Q = kron_lift(Ks, Q_t)
         Pinf = symmetrize(kron(Ks, ss_t.Pinf))
         H = kron(eye_s, ss_t.H)  # [Ns, Ns*d]
         D = Ns * ss_t.state_dim

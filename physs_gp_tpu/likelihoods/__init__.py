@@ -3,3 +3,4 @@ from .nongaussian import Bernoulli, Poisson, Probit, expected_log_lik
 from .composite import CompositeLikelihood, NonlinearResidual
 from .het_gaussian import HetGaussian
 from .nongaussian import LossLikelihood, Power
+from .dynamic_covariance import DynamicCovarianceGaussian, correlation_cholesky

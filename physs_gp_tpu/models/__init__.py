@@ -6,3 +6,4 @@ from .svgp import SVGP
 from .ekf_gp import NonlinearSSGP
 from .gprn import GPRN
 from .wrappers import LatentPredictor, MultiObjectiveModel
+from .lvgp import LatentVariableGP

@@ -117,8 +117,6 @@ class CVIGP:
         )
 
     def _ell_data(self, m, S):
-        from ..likelihoods.composite import CompositeLikelihood
-
         mu = self._mu()
         if mu is not None:
             m = m + mu
@@ -132,7 +130,9 @@ class CVIGP:
                 T, p = m.shape
                 corr = jnp.broadcast_to(corr, (T, p))
                 S = S + jax.vmap(jnp.diag)(corr)
-        if isinstance(self.likelihood, CompositeLikelihood):
+        if hasattr(self.likelihood, "expected_log_lik_blocks"):
+            # block likelihoods: Composite (per-column heads + residuals),
+            # DynamicCovarianceGaussian (joint y_t ~ N(0, Σ(f_t))), ...
             return self.likelihood.expected_log_lik_blocks(self.Y, m, S)
         v = jnp.diagonal(S, axis1=-2, axis2=-1)
         return jnp.sum(expected_log_lik(self.likelihood, self.Y, m, v))

@@ -47,11 +47,18 @@ def highest_precision(fn):
     wrapped so library users get correct results without knowing the knob;
     large non-recursive Gram matmuls can still opt down locally if profiling
     ever warrants it.
+
+    PHYSS_MATMUL_PRECISION=high opts the wrapped paths down to the 3-pass
+    bf16x3 decomposition (~2^-21 effective mantissa vs 2^-24 for the 6-pass
+    "highest") — measure before shipping on a new workload.
     """
+    import os
+
+    level = os.environ.get("PHYSS_MATMUL_PRECISION", "highest")
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(level):
             return fn(*args, **kwargs)
 
     return wrapper
@@ -328,6 +335,24 @@ def kron(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     p, q = B.shape[-2:]
     out = A[..., :, None, :, None] * B[..., None, :, None, :]
     return out.reshape(out.shape[:-4] + (m * p, n * q))
+
+
+def kron_lift(B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """kron(B, C) for STATIC B [m, m] and batched C [T, n, n] → [T, mn, mn].
+
+    Gather-broadcast formulation: out[t, s, s'] = B[s//n, s'//n] ·
+    C[t, s%n, s'%n]. The naive broadcast kron materialises a
+    [T, m, n, m, n] intermediate whose trailing n (= temporal state dim,
+    typically 2-3) gets padded to the 128-lane TPU tile — a 64x memory
+    blowup that OOMs compilation at T = 100k (26 GB for a 410 MB tensor).
+    Gathering C up to [T, mn, mn] first keeps every tensor lane-sized.
+    """
+    m = B.shape[-1]
+    n = C.shape[-1]
+    s = jnp.arange(m * n)
+    Bg = B[s[:, None] // n, s[None, :] // n]  # [mn, mn]
+    Cg = C[:, s[:, None] % n, s[None, :] % n]  # [T, mn, mn]
+    return Bg[None] * Cg
 
 
 def kron_mv(A: jnp.ndarray, B: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -41,14 +41,23 @@ __all__ = [
 _LANES = 128
 
 
-def use_pallas_linalg(shape, d_max: int = 40) -> bool:
-    """Heuristic gate: TPU backend, 3-D batch, small d, worthwhile batch."""
+def _on_tpu_backend() -> bool:
+    """True when traces will execute on the TPU plugin — honours an active
+    `jax.default_device(cpu)` override (the CPU lowering of pallas_call
+    raises unless interpret=True)."""
     try:
-        backend = jax.default_backend()
+        dev = jax.config.jax_default_device
+        if dev is not None and getattr(dev, "platform", None) == "cpu":
+            return False
+        return jax.default_backend() not in ("cpu", "gpu")
     except RuntimeError:
         return False
+
+
+def use_pallas_linalg(shape, d_max: int = 40) -> bool:
+    """Heuristic gate: TPU backend, 3-D batch, small d, worthwhile batch."""
     return (
-        backend not in ("cpu", "gpu")
+        _on_tpu_backend()
         and len(shape) == 3
         and shape[-1] <= d_max
         and shape[0] >= 2 * _LANES

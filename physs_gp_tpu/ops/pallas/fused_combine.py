@@ -40,15 +40,20 @@ _INTERPRET = False
 
 
 def use_fused_combine(shape, d_min: int = 8, d_max: int = 36) -> bool:
-    """TPU-only; worthwhile for mid-size d with a real batch. For d < 8 XLA's
-    fused elementwise path (with closed-form inverses) is already good; for
-    d > 36 the 15 VMEM-resident [d, d, 128] buffers exceed VMEM."""
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
+    """Opt-in (PHYSS_FUSED_COMBINE=1): measured at d=32, T=100k the XLA
+    einsum combine with the Pallas lane-batched INVERSE (`gen_solve`) runs
+    92.8k steps/s vs 83.9k for this fully-fused kernel — once the inverse is
+    off the XLA critical path, the MXU einsums beat the VPU lane-matmuls, so
+    full fusion is a net loss. Kept (with CPU interpret tests) as the
+    building block for shapes where VPU fusion wins."""
+    import os
+
+    from .batched_linalg import _on_tpu_backend
+
+    if os.environ.get("PHYSS_FUSED_COMBINE", "0") != "1":
         return False
     return (
-        backend not in ("cpu", "gpu")
+        _on_tpu_backend()
         and len(shape) == 3
         and d_min <= shape[-1] <= d_max
         and shape[0] >= _LANES

@@ -1,5 +1,6 @@
 from .operators import (
     DerivativeHead,
+    ScatteredSpatialHead,
     LinearOperatorHead,
     OperatorTerm,
     SpatialHead,
@@ -11,3 +12,4 @@ from .operators import (
     s_identity,
     s_laplacian,
 )
+from .inputs import UncertainInputLikelihood

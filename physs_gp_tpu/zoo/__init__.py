@@ -6,4 +6,9 @@ from .spatio_temporal import (
     st_gp,
 )
 from .phi_ml import curl_free_gp, helmholtz_gp
-from .dynamics import latent_force_gp, lorenz_gp, lotka_volterra_gp
+from .dynamics import (
+    dynamic_covariance_gp,
+    latent_force_gp,
+    lorenz_gp,
+    lotka_volterra_gp,
+)

@@ -11,9 +11,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels.matern import Matern32
 from ..models.ekf_gp import NonlinearSSGP
+from ..utils.params import Param, positive_param
 
-__all__ = ["lotka_volterra_gp", "lorenz_gp", "latent_force_gp"]
+__all__ = [
+    "lotka_volterra_gp",
+    "lorenz_gp",
+    "latent_force_gp",
+    "dynamic_covariance_gp",
+]
+
+
+def _param(v, fixed=False):
+    if isinstance(v, Param):
+        return v
+    p = positive_param(v)
+    return p.fix() if fixed else p
 
 
 def lotka_volterra_gp(
@@ -121,4 +135,51 @@ def latent_force_gp(
         obs_fn=lambda p, x: x[:1],
         n_substeps=n_substeps,
         **kw,
+    )
+
+
+def dynamic_covariance_gp(
+    t,
+    Y,
+    k_latent=None,
+    variances=None,
+    n_mc: int = 32,
+    dtype=jnp.float64,
+    parallel: bool = False,
+    chunk_size=None,
+):
+    """Dynamic-correlation multivariate volatility model (ref
+    `transforms/covariance.py:21` LKJStaticVarianceProcess +
+    `likelihood/dynamic_covariance_likelihood.py:12`).
+
+    Y [T, P]: y_t ~ N(0, D C(t) D) with C(t) the correlation matrix driven by
+    Q = P(P−1)/2 independent latent state-space GPs through the canonical
+    partial-correlation map. Variances (D²) are static trainable Params.
+    Returns a CVIGP over the Q latent heads; read the fitted correlation path
+    with `model.likelihood.correlation_path(model.posterior().mean)`.
+    """
+    from ..kernels.markov import StackedMarkov
+    from ..likelihoods.dynamic_covariance import DynamicCovarianceGaussian
+    from ..models.cvi_gp import CVIGP
+
+    t = jnp.asarray(np.ravel(t), dtype)
+    Y = jnp.asarray(Y, dtype)
+    T, P = Y.shape
+    Q = P * (P - 1) // 2
+    kern = StackedMarkov(parts=[
+        (k_latent() if callable(k_latent) else Matern32(
+            lengthscale=1.0, variance=0.5))
+        for _ in range(Q)
+    ] if k_latent is None or callable(k_latent) else list(k_latent))
+    if variances is None:
+        variances = [1.0] * P
+    lik = DynamicCovarianceGaussian(
+        y=Y,
+        variances=[_param(v) for v in variances],
+        n_mc=n_mc,
+    )
+    Y_heads = jnp.full((T, Q), jnp.nan, dtype)
+    return CVIGP.init(
+        t=t, Y=Y_heads, kernel=kern, likelihood=lik,
+        parallel=parallel, chunk_size=chunk_size,
     )
