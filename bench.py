@@ -33,13 +33,16 @@ import sys, time, json
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_platforms", "cpu")
+# fp64 like the reference: stgp/__init__.py globally enables jax_enable_x64,
+# so the faithful CPU-sequential baseline runs double precision
+jax.config.update("jax_enable_x64", True)
 import numpy as np
 import jax.numpy as jnp
 from physs_gp_tpu.models import CVIGP
 from bench import build_config5, build_temporal
 
 T_cpu = 2000
-m = build_config5(T_cpu, None, parallel=False)
+m = build_config5(T_cpu, None, parallel=False, dtype=jnp.float64)
 step = jax.jit(lambda mm: mm.step_with_elbo(0.5))
 m2, e = step(m)
 _ = float(e)
@@ -49,7 +52,7 @@ for _ in range(3):
 _ = float(e)
 dt5 = (time.perf_counter() - t0) / 3
 
-mt = build_temporal(T_cpu, None, parallel=False)
+mt = build_temporal(T_cpu, None, parallel=False, dtype=jnp.float64)
 step_t = jax.jit(lambda mm: mm.step_with_elbo(0.5))
 mt2, et = step_t(mt)
 _ = float(et)
@@ -113,7 +116,7 @@ def build_config5(T, chunk, parallel=True, dtype=None):
         variances=[positive_param(jnp.asarray(0.1, dtype))] * Ns
         + [positive_param(jnp.asarray(1e-3, dtype)).fix()] * Nc
     )
-    return CVIGP.init(jnp.asarray(t), jnp.asarray(Y), kern, lik,
+    return CVIGP.init(jnp.asarray(t, dtype), jnp.asarray(Y, dtype), kern, lik,
                       observation=obs, parallel=parallel, chunk_size=chunk)
 
 

@@ -24,6 +24,7 @@ __all__ = [
     "solve_lower",
     "solve_upper",
     "gen_solve",
+    "bmm",
     "psd_solve",
     "psd_solve_logdet",
     "mat_inv",
@@ -269,6 +270,78 @@ def _gen_solve_bwd(res, ct):
 
 
 gen_solve.defvjp(_gen_solve_fwd, _gen_solve_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batched small-matrix multiply with a lane-batched Pallas fast path.
+#
+# XLA's batched dot at [B, 32, 32] measures 152 ns/matrix (0.43 TFLOP/s);
+# the lane-batched kernel measures 95 ns including its layout transposes,
+# and its in-kernel transposes are free — so every `swapaxes`-then-matmul in
+# the combines disappears too. Custom VJP keeps reverse-mode AD working by
+# expressing each cotangent as another bmm.
+# ---------------------------------------------------------------------------
+
+
+def _bmm_primal(A, B, ta, tb):
+    from .pallas.batched_linalg import batch_bmm, use_pallas_linalg
+
+    if (
+        A.ndim == 3
+        and B.ndim == 3
+        and A.shape[0] == B.shape[0]  # no broadcasting in the kernel
+        and use_pallas_linalg(A.shape)
+        and B.shape[-1] <= 40
+        and B.shape[-2] <= 40
+    ):
+        return batch_bmm(A, B, ta=ta, tb=tb)
+    a = jnp.swapaxes(A, -1, -2) if ta else A
+    b = jnp.swapaxes(B, -1, -2) if tb else B
+    return jnp.einsum("...ij,...jk->...ik", a, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bmm(A, B, ta: bool = False, tb: bool = False):
+    """op(A) @ op(B) batched over the leading axis; op = T when ta/tb."""
+    return _bmm_primal(A, B, ta, tb)
+
+
+def _bmm_fwd(A, B, ta, tb):
+    return _bmm_primal(A, B, ta, tb), (A, B)
+
+
+def _unbroadcast_to(x, shape):
+    """Sum cotangent over dims the primal broadcast (custom_vjp requires
+    exact shape match; combines broadcast a [1, d, d] carry over a chunk)."""
+    if x.shape == shape:
+        return x
+    ndiff = x.ndim - len(shape)
+    if ndiff:
+        x = jnp.sum(x, axis=tuple(range(ndiff)))
+    axes = tuple(
+        i for i, (a, b) in enumerate(zip(x.shape, shape)) if b == 1 and a != 1
+    )
+    if axes:
+        x = jnp.sum(x, axis=axes, keepdims=True)
+    return x
+
+
+def _bmm_bwd(ta, tb, res, ct):
+    A, B = res
+    # C = opA(A) opB(B):
+    #   d/dA: (F,*) -> unopB(ct opB(B)^T) ; (T,*) -> opB(B) ct^T
+    if not ta:
+        dA = _bmm_primal(ct, B, False, not tb)
+    else:
+        dA = _bmm_primal(B, ct, tb, True)
+    if not tb:
+        dB = _bmm_primal(A, ct, not ta, False)
+    else:
+        dB = _bmm_primal(ct, A, True, ta)
+    return _unbroadcast_to(dA, A.shape), _unbroadcast_to(dB, B.shape)
+
+
+bmm.defvjp(_bmm_fwd, _bmm_bwd)
 
 
 def psd_solve(A: jnp.ndarray, B: jnp.ndarray,

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "batch_solve",
+    "batch_bmm",
     "batch_solve_logdet",
     "batch_matmul",
     "use_pallas_linalg",
@@ -127,6 +128,21 @@ def _mm_kernel(A_ref, B_ref, C_ref, *, d: int):
     C_ref[:] = C
 
 
+def _mm_kernel_g(A_ref, B_ref, C_ref, *, d: int, ta: bool, tb: bool):
+    """C = op(A) @ op(B) per lane (op = transpose when ta/tb); transposes are
+    FREE in the lane layout — just different index roles in the k-loop."""
+    A = A_ref[:]
+    B = B_ref[:]
+    C = jnp.zeros((A.shape[1] if ta else A.shape[0],
+                   B.shape[0] if tb else B.shape[1],
+                   A.shape[2]), A.dtype)
+    for k in range(d):
+        a_k = A[k, :, :] if ta else A[:, k, :]  # [m, 128]
+        b_k = B[:, k, :] if tb else B[k, :, :]  # [n, 128]
+        C = C + a_k[:, None, :] * b_k[None, :, :]
+    C_ref[:] = C
+
+
 def _pad_lanes(x_bdd: jnp.ndarray, fill_eye: bool):
     """[B, m, n] -> [m, n, B_pad] lane-major with padding."""
     B = x_bdd.shape[0]
@@ -207,6 +223,38 @@ def batch_solve_logdet(M: jnp.ndarray, R: jnp.ndarray, interpret: bool = False):
         interpret=interpret,
     )(Mt, Rt)
     return jnp.transpose(X, (2, 0, 1))[:B0], ld[0, :B0]
+
+
+@functools.partial(jax.jit, static_argnames=("ta", "tb", "interpret"))
+def batch_bmm(A: jnp.ndarray, B: jnp.ndarray, ta: bool = False,
+              tb: bool = False, interpret: bool = False):
+    """C[b] = op(A[b]) @ op(B[b]), op = transpose when ta/tb.
+
+    A: [N, ka, ma], B: [N, kb, mb] with the contracted dims matching; the
+    in-kernel transposes cost nothing (index roles in the lane layout), so
+    callers avoid materialising `swapaxes` copies entirely."""
+    d = A.shape[-1] if ta else A.shape[-2]  # output rows m
+    k = A.shape[-2] if ta else A.shape[-1]  # contracted
+    e = B.shape[-2] if tb else B.shape[-1]  # output cols n
+    At, B0 = _pad_lanes(A, fill_eye=False)
+    Bt, _ = _pad_lanes(B, fill_eye=False)
+    Bp = At.shape[-1]
+    grid = (Bp // _LANES,)
+    out = pl.pallas_call(
+        functools.partial(_mm_kernel_g, d=k, ta=ta, tb=tb),
+        out_shape=jax.ShapeDtypeStruct((d, e, Bp), A.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(A.shape[1:] + (_LANES,), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(B.shape[1:] + (_LANES,), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, e, _LANES), lambda b: (0, 0, b),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(At, Bt)
+    return jnp.transpose(out, (2, 0, 1))[:B0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

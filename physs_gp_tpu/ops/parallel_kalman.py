@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from .gaussian import mask_covariance, masked_mvn_logpdf
 from .kalman import FilterResult, SmootherResult, observation_mask
 from .matrix import (
+    bmm,
     cholesky_solve,
     highest_precision,
     psd_solve,
@@ -66,8 +67,8 @@ def _build_filter_elements(A, Q, H, R, y, mask, m0, P0) -> _FilterElems:
     P_loc = Q.at[0].add(A[0] @ P0 @ A[0].T)
     m_loc = jnp.zeros((T, d), dtype).at[0].set(A[0] @ m0)
 
-    HP = jnp.einsum("tij,tjk->tik", Hm, P_loc)  # [T, p, d]
-    S = mask_covariance(jnp.einsum("tij,tkj->tik", HP, Hm) + R, mask)
+    HP = bmm(Hm, P_loc)  # [T, p, d]
+    S = mask_covariance(bmm(HP, Hm, tb=True) + R, mask)
     vres = y0 - jnp.einsum("tpj,tj->tp", Hm, m_loc)  # [T, p]
     # ONE batched SPD solve for all three right-hand sides (Pallas GJ on TPU;
     # XLA's chol + 3 triangular solves is the hottest single cost otherwise):
@@ -76,18 +77,17 @@ def _build_filter_elements(A, Q, H, R, y, mask, m0, P0) -> _FilterElems:
     SinvHP = sol[..., :d]  # S^-1 H P
     Sinv_v = sol[..., d]  # S^-1 vres
     SinvH = sol[..., d + 1 :]  # S^-1 H
-    K = jnp.swapaxes(SinvHP, -1, -2)  # [T, d, p] = P H^T S^-1
-    ImKH = jnp.eye(d, dtype=dtype) - jnp.einsum("tip,tpj->tij", K, Hm)
+    ImKH = jnp.eye(d, dtype=dtype) - bmm(SinvHP, Hm, ta=True)  # I - K H
 
-    A_out = jnp.einsum("tij,tjk->tik", ImKH, A)
-    b_out = m_loc + jnp.einsum("tip,tp->ti", K, vres)
-    C_out = symmetrize(jnp.einsum("tij,tjk->tik", ImKH, P_loc))
+    A_out = bmm(ImKH, A)
+    b_out = m_loc + jnp.einsum("tpi,tp->ti", SinvHP, vres)  # K vres
+    C_out = symmetrize(bmm(ImKH, P_loc))
 
     # eta = A^T H^T S^-1 (y - H m_loc);  J = A^T H^T S^-1 H A
     HtSinv_v = jnp.einsum("tpj,tp->tj", Hm, Sinv_v)
     eta = jnp.einsum("tji,tj->ti", A, HtSinv_v)
-    HtSinvH = jnp.einsum("tpi,tpj->tij", Hm, SinvH)
-    J = symmetrize(jnp.einsum("tji,tjk,tkl->til", A, HtSinvH, A))
+    HtSinvH = bmm(Hm, SinvH, ta=True)
+    J = symmetrize(bmm(bmm(A, HtSinvH, ta=True), A))
 
     # First element: A=0, eta=0, J=0; b/C already hold the updated prior.
     A_out = A_out.at[0].set(jnp.zeros((d, d), dtype))
@@ -147,25 +147,23 @@ def _filtering_operator(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
 
 
 def _filtering_operator_xla(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
+    # bmm: lane-batched Pallas matmul (95 ns/matrix vs XLA's 152 at d=32,
+    # in-kernel transposes free); falls back to einsum off-TPU / broadcasting
     d = ei.A.shape[-1]
     eye = jnp.eye(d, dtype=ei.A.dtype)
-    ICJ = eye + jnp.einsum("...ij,...jk->...ik", ei.C, ej.J)
+    ICJ = eye + bmm(ei.C, ej.J)
     U = _batched_inverse(ICJ)  # inv(I + C_i J_j)
-    AjU = jnp.einsum("...ij,...jk->...ik", ej.A, U)
-    A = jnp.einsum("...ij,...jk->...ik", AjU, ei.A)
+    AjU = bmm(ej.A, U)
+    A = bmm(AjU, ei.A)
     b = jnp.einsum("...ij,...j->...i", AjU, ei.b + jnp.einsum("...ij,...j->...i", ei.C, ej.eta)) + ej.b
-    C = symmetrize(
-        jnp.einsum("...ij,...jk,...lk->...il", AjU, ei.C, ej.A) + ej.C
-    )
+    C = symmetrize(bmm(bmm(AjU, ei.C), ej.A, tb=True) + ej.C)
     # V = inv(I + J_j C_i) = U^T; with W = U A_i:
     #   eta = A_i^T V w + eta_i = W^T w + eta_i
     #   J   = A_i^T V J_j A_i + J_i = W^T J_j A_i + J_i
-    W = jnp.einsum("...ij,...jk->...ik", U, ei.A)
+    W = bmm(U, ei.A)
     w = ej.eta - jnp.einsum("...ij,...j->...i", ej.J, ei.b)
     eta = jnp.einsum("...ji,...j->...i", W, w) + ei.eta
-    J = symmetrize(
-        jnp.einsum("...ji,...jk,...kl->...il", W, ej.J, ei.A) + ei.J
-    )
+    J = symmetrize(bmm(W, bmm(ej.J, ei.A), ta=True) + ei.J)
     return _FilterElems(A=A, b=b, C=C, J=J, eta=eta)
 
 
@@ -175,10 +173,10 @@ def _per_step_lml(A, Q, H, R, y, mask, ms, m0, P0, Ps):
     m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
     P_prev = jnp.concatenate([P0[None], Ps[:-1]], axis=0)
     m_pred = jnp.einsum("tij,tj->ti", A, m_prev)
-    P_pred = jnp.einsum("tij,tjk,tlk->til", A, P_prev, A) + Q
+    P_pred = bmm(bmm(A, P_prev), A, tb=True) + Q
     Hm = mask[..., :, None] * H
     mu = jnp.einsum("tpj,tj->tp", Hm, m_pred)
-    S = jnp.einsum("tpj,tjk,tqk->tpq", Hm, P_pred, Hm) + R
+    S = bmm(bmm(Hm, P_pred), Hm, tb=True) + R
     return masked_mvn_logpdf(y, mu, S, mask)
 
 
@@ -257,9 +255,9 @@ def _smoothing_operator(ej: _SmootherElems, ei: _SmootherElems) -> _SmootherElem
 
 
 def _smoothing_operator_xla(ej: _SmootherElems, ei: _SmootherElems) -> _SmootherElems:
-    E = jnp.einsum("...ij,...jk->...ik", ei.E, ej.E)
+    E = bmm(ei.E, ej.E)
     g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
-    L = symmetrize(jnp.einsum("...ij,...jk,...lk->...il", ei.E, ej.L, ei.E) + ei.L)
+    L = symmetrize(bmm(bmm(ei.E, ej.L), ei.E, tb=True) + ei.L)
     return _SmootherElems(E=E, g=g, L=L)
 
 
@@ -289,12 +287,12 @@ def parallel_rts_smoother(
     A_next = jnp.roll(A, -1, axis=0)
     Q_next = jnp.roll(Q, -1, axis=0)
     m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
-    P_pred = jnp.einsum("tij,tjk,tlk->til", A_next, Ps, A_next) + Q_next
-    E = jnp.swapaxes(
-        psd_solve(P_pred, jnp.einsum("tij,tjk->tik", A_next, Ps)), -1, -2
-    )
+    AP = bmm(A_next, Ps)
+    P_pred = bmm(AP, A_next, tb=True) + Q_next
+    E = jnp.swapaxes(psd_solve(P_pred, AP), -1, -2)
     g = ms - jnp.einsum("tij,tj->ti", E, m_pred)
-    L = symmetrize(Ps - jnp.einsum("tij,tjk,tlk->til", E, P_pred, E))
+    EP = bmm(E, P_pred)
+    L = symmetrize(Ps - bmm(EP, E, tb=True))
 
     E = E.at[-1].set(jnp.zeros((d, d), dtype))
     g = g.at[-1].set(ms[-1])

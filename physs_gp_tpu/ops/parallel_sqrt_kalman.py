@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .kalman import FilterResult, SmootherResult, observation_mask
-from .matrix import highest_precision
+from .matrix import bmm, highest_precision
 from .sqrt_kalman import _sqrt_update, tria
 
 __all__ = ["parallel_sqrt_kalman_filter", "parallel_sqrt_rts_smoother"]
@@ -140,7 +140,7 @@ def _sqrt_filtering_operator(e1, e2):
     d = e1.A.shape[-1]
     dtype = e1.A.dtype
     eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
-    G = jnp.einsum("...ji,...jk->...ik", e1.U, e2.Z)  # U1^T Z2 [d, d]
+    G = bmm(e1.U, e2.Z, ta=True)  # U1^T Z2 [d, d]
     Xi = tria(jnp.concatenate([G, eye], axis=-1))  # chol(I + G G^T)
     Lam = tria(jnp.concatenate([jnp.swapaxes(G, -1, -2), eye], axis=-1))
     # W1 = U1 Xi^-T  (right-solve)
@@ -154,11 +154,9 @@ def _sqrt_filtering_operator(e1, e2):
 
     # A = A2 A1 - (A2 W1) (Xi^-1 G) (Z2^T A1)
     XiG = _solve_tri(Xi, G)
-    A2W1 = jnp.einsum("...ij,...jk->...ik", e2.A, W1)
-    Z2tA1 = jnp.einsum("...ji,...jk->...ik", e2.Z, e1.A)
-    A = jnp.einsum("...ij,...jk->...ik", e2.A, e1.A) - jnp.einsum(
-        "...ij,...jk,...kl->...il", A2W1, XiG, Z2tA1
-    )
+    A2W1 = bmm(e2.A, W1)
+    Z2tA1 = bmm(e2.Z, e1.A, ta=True)
+    A = bmm(e2.A, e1.A) - bmm(bmm(A2W1, XiG), Z2tA1)
 
     # b = b2 + A2 (u - W1 Xi^-1 G Z2^T u),  u = b1 + U1 U1^T eta2
     u = e1.b + jnp.einsum(
@@ -183,7 +181,7 @@ def _sqrt_filtering_operator(e1, e2):
 
     Z = tria(
         jnp.concatenate(
-            [jnp.einsum("...ji,...jk->...ik", e1.A, V2), e1.Z], axis=-1
+            [bmm(e1.A, V2, ta=True), e1.Z], axis=-1
         )
     )
     return _SqrtFilterElems(A=A, b=b, U=U, eta=eta, Z=Z)
@@ -199,7 +197,7 @@ def _per_step_lml_sqrt(A, Q_sqrt, H, R_sqrt, y, mask, ms, m0, U0, Us):
     m_pred = jnp.einsum("tij,tj->ti", A, m_prev)
     Up = tria(
         jnp.concatenate(
-            [jnp.einsum("tij,tjk->tik", A, U_prev), Q_sqrt], axis=-1
+            [bmm(A, U_prev), Q_sqrt], axis=-1
         )
     )
     Hm = mask[..., :, None] * H
@@ -208,7 +206,7 @@ def _per_step_lml_sqrt(A, Q_sqrt, H, R_sqrt, y, mask, ms, m0, U0, Us):
     )
     S_sqrt = tria(
         jnp.concatenate(
-            [jnp.einsum("tpi,tij->tpj", Hm, Up), Rs_m], axis=-1
+            [bmm(Hm, Up), Rs_m], axis=-1
         )
     )
     y0 = jnp.where(mask > 0, jnp.nan_to_num(y), 0.0)
@@ -274,11 +272,11 @@ class _SqrtSmootherElems(NamedTuple):
 def _sqrt_smoothing_operator(ej, ei):
     """Reverse-scan combine (ej later-suffix, ei earlier): sqrt form."""
     ej, ei = _broadcast_batch(ej, ei)
-    E = jnp.einsum("...ij,...jk->...ik", ei.E, ej.E)
+    E = bmm(ei.E, ej.E)
     g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
     D = tria(
         jnp.concatenate(
-            [jnp.einsum("...ij,...jk->...ik", ei.E, ej.D), ei.D], axis=-1
+            [bmm(ei.E, ej.D), ei.D], axis=-1
         )
     )
     return _SqrtSmootherElems(E=E, g=g, D=D)
@@ -304,7 +302,7 @@ def parallel_sqrt_rts_smoother(
     pre = jnp.concatenate(
         [
             jnp.concatenate(
-                [jnp.einsum("tij,tjk->tik", A_next, Us), Qs_next], axis=-1
+                [bmm(A_next, Us), Qs_next], axis=-1
             ),
             jnp.concatenate(
                 [Us, jnp.zeros((T, d, d), dtype)], axis=-1

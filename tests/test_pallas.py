@@ -185,3 +185,43 @@ def test_gen_solve_grads_match_builtin():
     gA = jax.grad(f_custom)(jnp.asarray(A))
     gB = jax.grad(f_builtin)(jnp.asarray(A))
     np.testing.assert_allclose(np.asarray(gA), np.asarray(gB), rtol=1e-8)
+
+
+def test_batch_bmm_interpret_all_transposes():
+    rng = np.random.default_rng(9)
+    B, m, k, n = 150, 6, 5, 7
+    for ta in (False, True):
+        for tb in (False, True):
+            A = rng.normal(size=(B, k, m) if ta else (B, m, k))
+            Bx = rng.normal(size=(B, n, k) if tb else (B, k, n))
+            C = bl.batch_bmm(jnp.asarray(A), jnp.asarray(Bx), ta=ta, tb=tb,
+                             interpret=True)
+            a = np.swapaxes(A, 1, 2) if ta else A
+            b = np.swapaxes(Bx, 1, 2) if tb else Bx
+            np.testing.assert_allclose(np.asarray(C), a @ b, rtol=1e-12,
+                                       err_msg=f"ta={ta} tb={tb}")
+
+
+def test_bmm_grads_match_einsum():
+    from physs_gp_tpu.ops.matrix import bmm
+
+    rng = np.random.default_rng(10)
+    B, d = 12, 4
+    A = jnp.asarray(rng.normal(size=(B, d, d)))
+    Bx = jnp.asarray(rng.normal(size=(B, d, d)))
+    for ta in (False, True):
+        for tb in (False, True):
+            def f(a, b):
+                return jnp.sum(bmm(a, b, ta, tb) ** 3)
+
+            def f_ref(a, b):
+                ae = jnp.swapaxes(a, 1, 2) if ta else a
+                be = jnp.swapaxes(b, 1, 2) if tb else b
+                return jnp.sum(jnp.einsum("bij,bjk->bik", ae, be) ** 3)
+
+            gA, gB = jax.grad(f, argnums=(0, 1))(A, Bx)
+            rA, rB = jax.grad(f_ref, argnums=(0, 1))(A, Bx)
+            np.testing.assert_allclose(np.asarray(gA), np.asarray(rA),
+                                       rtol=1e-10, err_msg=f"A ta={ta} tb={tb}")
+            np.testing.assert_allclose(np.asarray(gB), np.asarray(rB),
+                                       rtol=1e-10, err_msg=f"B ta={ta} tb={tb}")
