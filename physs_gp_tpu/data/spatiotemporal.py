@@ -158,6 +158,8 @@ class TemporallyGroupedData:
     Y_st: np.ndarray
     _row_t: np.ndarray = field(repr=False)
     _row_j: np.ndarray = field(repr=False)
+    X_raw: np.ndarray = field(repr=False, default=None)  # original rows
+    Y_raw: np.ndarray = field(repr=False, default=None)
 
     @classmethod
     def from_scattered(cls, X, Y) -> "TemporallyGroupedData":
@@ -185,6 +187,7 @@ class TemporallyGroupedData:
         return cls(
             t=t_u, X_st=X_st, Y_st=Y_st,
             _row_t=t_idx[inv], _row_j=j_idx[inv],
+            X_raw=np.asarray(X), Y_raw=Y,
         )
 
     @property

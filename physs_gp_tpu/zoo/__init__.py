@@ -2,6 +2,7 @@ from .physics import allen_cahn_gp, monotonic_cvi_gp, nonlinear_ode_cvi_gp, ode_
 from .spatio_temporal import (
     advection_diffusion_gp,
     scattered_st_gp,
+    scattered_st_predict,
     sparse_st_gp,
     st_gp,
 )

@@ -27,7 +27,7 @@ from ..transforms.operators import (
 )
 from ..utils.params import Param, param, positive_param
 
-__all__ = ["st_gp", "advection_diffusion_gp", "sparse_st_gp", "scattered_st_gp"]
+__all__ = ["st_gp", "advection_diffusion_gp", "sparse_st_gp", "scattered_st_gp", "scattered_st_predict"]
 
 
 def _param(v, fixed=False):
@@ -245,6 +245,48 @@ def scattered_st_gp(
         chunk_size=chunk_size,
     )
     return model, data
+
+
+def scattered_st_predict(model, data, X_query):
+    """Posterior q(f) at ARBITRARY scattered (t, s...) query rows for a
+    `scattered_st_gp` model.
+
+    Rebuilds the grouped grid over train + query rows (query Y = NaN) and
+    re-runs the smoother — the scattered analogue of the NaN-augmentation
+    prediction path (ref `models/sde_gp.py:392`). Assumes the zoo
+    construction (shared-variance IndependentGaussian, one
+    ScatteredSpatialHead). Returns GaussianMoments with one row per query.
+    """
+    import jax.numpy as jnp
+
+    from ..data.spatiotemporal import TemporallyGroupedData
+    from ..models.ssgp import GaussianMoments
+    from ..transforms.operators import ScatteredSpatialHead, StateObservation
+    from ..utils.struct import replace
+
+    X_query = np.atleast_2d(np.asarray(X_query))
+    nq = X_query.shape[0]
+    P = data.P
+    X_all = np.vstack([data.X_raw, X_query])
+    Y_all = np.vstack([data.Y_raw, np.full((nq, P), np.nan)])
+    d2 = TemporallyGroupedData.from_scattered(X_all, Y_all)
+    dtype = model.t.dtype
+    head0 = model.observation.heads[0]
+    obs = StateObservation(heads=[ScatteredSpatialHead(
+        points=jnp.asarray(d2.X_st, dtype),
+        t_order=head0.t_order, s_op=head0.s_op, correction=head0.correction,
+    )])
+    lik = IndependentGaussian(
+        variances=[model.likelihood.variances[0]] * (d2.Ng * P)
+    )
+    m2 = replace(
+        model, t=jnp.asarray(d2.t, dtype), Y=jnp.asarray(d2.Y_flat, dtype),
+        observation=obs, likelihood=lik,
+    )
+    post = m2.posterior()
+    mean_rows = d2.unsort(np.asarray(post.mean))
+    var_rows = d2.unsort(np.asarray(post.var))
+    return GaussianMoments(mean=mean_rows[-nq:], var=var_rows[-nq:])
 
 
 from ..utils.struct import module as _module

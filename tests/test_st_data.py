@@ -208,3 +208,31 @@ def test_spatial_minibatch_indices():
     rng = np.random.default_rng(7)
     idx = spatial_minibatch_indices(rng, Ns=50, batch=8)
     assert idx.shape == (8,) and idx.min() >= 0 and idx.max() < 50
+
+
+def test_scattered_st_predict_matches_dense_gp():
+    """Prediction at arbitrary NEW scattered rows == dense GP conditional
+    (Z spans all sites incl. query locations -> conditional exact)."""
+    rng = np.random.default_rng(8)
+    X, y = _scattered(rng, Nt=8, Ns=4, keep=0.7)
+    Xq = np.hstack([
+        rng.uniform(X[:, 0].min(), X[:, 0].max(), (5, 1)),  # new times
+        X[rng.integers(0, X.shape[0], 5), 1:],              # existing sites
+    ])
+    kern_t = Matern32(lengthscale=1.0, variance=1.0)
+    kern_s = RBF(lengthscales=positive_param(jnp.array([0.8, 0.7])))
+    noise = 0.05
+    from physs_gp_tpu.zoo import scattered_st_predict
+
+    m, data = scattered_st_gp(
+        X, y, Z=np.unique(X[:, 1:], axis=0),
+        k_time=kern_t, k_space=kern_s, noise=noise,
+    )
+    pred = scattered_st_predict(m, data, Xq)
+    dense = _dense_gp(kern_t, kern_s, X, y, noise, X_pred=Xq)
+    np.testing.assert_allclose(
+        pred.mean[:, 0], dense["mean"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        pred.var[:, 0], dense["var"], rtol=1e-4, atol=1e-7
+    )
