@@ -13,7 +13,7 @@ from .rbf import RBF
 from .spatio_temporal import SpatioTemporalKernel
 from .derivative import DerivativeKernel, grad_ops, second_order_ops
 from .periodic import Periodic
-from .wiener import Wiener, WienerVelocity
+from .wiener import IntegratedWiener, Wiener, WienerVelocity
 from .misc import RQ, ArcCosine, DeepKernel, Gibbs, SpectralMixture
 from .multi_output import LMC
 from .aggregated import AggregatedKernel, uniform_box_nodes

@@ -12,6 +12,8 @@ identity.
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from ..utils.params import Param, positive_param
@@ -19,7 +21,7 @@ from ..utils.struct import field, module, static
 from .base import Kernel
 from .markov import MarkovKernel, StateSpace
 
-__all__ = ["Wiener", "WienerVelocity"]
+__all__ = ["Wiener", "WienerVelocity", "IntegratedWiener"]
 
 
 @module
@@ -103,3 +105,92 @@ class WienerVelocity(MarkovKernel):
             -2,
         )
         return q * Q
+
+
+@module
+class IntegratedWiener(MarkovKernel):
+    """q-times integrated Wiener process; state (f, f', ..., f^(q)).
+
+    Counterpart of the reference's `IntegratedWiener` (`kernels/wiener.py:
+    38-120`), which hard-codes gpml coefficient tables for q=2,3. Here the
+    exact discretisation is generated for ANY order from the closed forms of
+    the LTI SDE x^(q+1) = w(t):
+
+        A(dt)[i, j] = dt^(j-i) / (j-i)!                       (j >= i)
+        Q(dt)[i, j] = q_c dt^(2q+1-i-j) / ((2q+1-i-j)(q-i)!(q-j)!)
+
+    and the prior covariance of the observed head from the Green's-function
+    integral k(s,t) = q_c ∫_0^min(s,t) (s-u)^q (t-u)^q du / (q!)^2, expanded
+    termwise (exact polynomial, no quadrature). q=0 is `Wiener`, q=1 is
+    `WienerVelocity`.
+    """
+
+    variance: Param = field(default_factory=lambda: positive_param(1.0))
+    P0: Param = field(default_factory=lambda: positive_param(1e-6))
+    q: int = static(default=2)
+
+    def k_scalar(self, x1, x2):
+        t1 = jnp.sum(jnp.atleast_1d(x1))
+        t2 = jnp.sum(jnp.atleast_1d(x2))
+        m = jnp.minimum(t1, t2)
+        q = self.q
+        acc = 0.0
+        # ∫_0^m (t1-u)^q (t2-u)^q du =
+        #   Σ_{i,j} C(q,i) C(q,j) (-1)^{i+j} t1^{q-i} t2^{q-j} m^{i+j+1}/(i+j+1)
+        for i in range(q + 1):
+            for j in range(q + 1):
+                c = (
+                    math.comb(q, i) * math.comb(q, j) * (-1.0) ** (i + j)
+                    / (i + j + 1)
+                )
+                acc = acc + c * t1 ** (q - i) * t2 ** (q - j) * m ** (i + j + 1)
+        return (
+            self.variance.value * acc / (math.factorial(q) ** 2)
+            + self.P0.value
+        )
+
+    def to_ss(self) -> StateSpace:
+        qc = self.variance.value
+        dtype = qc.dtype
+        d = self.q + 1
+        F = jnp.eye(d, k=1, dtype=dtype)
+        L = jnp.zeros((d, 1), dtype).at[-1, 0].set(1.0)
+        H = jnp.zeros((1, d), dtype).at[0, 0].set(1.0)
+        return StateSpace(
+            F=F,
+            L=L,
+            Qc=qc.reshape(1, 1),
+            H=H,
+            Pinf=self.P0.value * jnp.eye(d, dtype=dtype),
+            minf=jnp.zeros(d, dtype),
+        )
+
+    def transition(self, dt):
+        dt = jnp.asarray(dt)
+        d = self.q + 1
+        rows = []
+        for i in range(d):
+            cols = []
+            for j in range(d):
+                if j < i:
+                    cols.append(jnp.zeros_like(dt))
+                else:
+                    cols.append(dt ** (j - i) / math.factorial(j - i))
+            rows.append(jnp.stack(cols, -1))
+        return jnp.stack(rows, -2)
+
+    def noise_cov(self, dt):
+        dt = jnp.asarray(dt)
+        q = self.q
+        d = q + 1
+        rows = []
+        for i in range(d):
+            cols = []
+            for j in range(d):
+                e = 2 * q + 1 - i - j
+                cols.append(
+                    dt ** e
+                    / (e * math.factorial(q - i) * math.factorial(q - j))
+                )
+            rows.append(jnp.stack(cols, -1))
+        return self.variance.value * jnp.stack(rows, -2)

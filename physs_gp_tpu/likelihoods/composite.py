@@ -44,22 +44,25 @@ class NonlinearResidual:
     noise_var: Param = field(default_factory=lambda: positive_param(1e-3))
     fn: Callable = static(default=None)
     n_mc: int = static(default=32)
-    seed: int = static(default=0)  # static: uint32 key leaves break jax.grad
+    seed: int = static(default=0)  # fallback when no key is passed
 
     @property
     def key(self):
         return jax.random.PRNGKey(self.seed)
 
-    def _samples(self, m, S):
+    def _samples(self, m, S, key=None):
+        # key=None falls back to the static seed (deterministic, but FROZEN
+        # noise across iterations — training loops should pass a fresh key
+        # per step, ref `computation/integrals/samples.py:116` advances RNG)
         L = safe_cholesky(S)
         eps = jax.random.normal(
-            self.key, (self.n_mc,) + m.shape, m.dtype
+            self.key if key is None else key, (self.n_mc,) + m.shape, m.dtype
         )  # [n, T, p]
         return m[None] + jnp.einsum("tij,ntj->nti", L, eps)
 
-    def ell(self, mask, m, S):
+    def ell(self, mask, m, S, key=None):
         """mask: [T] 1.0 where the residual is enforced; m [T,p]; S [T,p,p]."""
-        f = self._samples(m, S)
+        f = self._samples(m, S, key)
         r = self.fn(f)  # [n, T] or [n, T, C]
         nv = self.noise_var.value
         ll = -0.5 * (_LOG2PI + jnp.log(nv) + r * r / nv)
@@ -68,7 +71,7 @@ class NonlinearResidual:
             ll = jnp.sum(ll, axis=-1)
         return jnp.sum(jnp.where(mask > 0, ll, 0.0))
 
-    def gauss_newton_grads(self, mask, m, S):
+    def gauss_newton_grads(self, mask, m, S, key=None):
         """(g1, g2) of the residual ELL with the Gauss-Newton Hessian.
 
         TPU counterpart of the reference's `laplace_gauss_newton` family
@@ -82,7 +85,7 @@ class NonlinearResidual:
         -2 lam2 stays PSD under hard non-conjugacy where the exact MC Hessian
         goes indefinite.
         """
-        f = self._samples(m, S)  # [n, T, p]
+        f = self._samples(m, S, key)  # [n, T, p]
         r = self.fn(f)  # [n, T] or [n, T, C]
         nv = self.noise_var.value
         if r.ndim == 3:
@@ -134,14 +137,15 @@ class CompositeLikelihood(Likelihood):
             act = act | rows[:, None]
         return act
 
-    def natgrad_moments(self, Y, m, S, residual_hessian: str = "exact"):
+    def natgrad_moments(self, Y, m, S, residual_hessian: str = "exact",
+                        key=None):
         """(g1, g2) = d ELL / d(m, S) for the CVI site update.
 
         residual_hessian='gauss_newton' swaps the residual term's exact MC
         Hessian for the PSD-safe Gauss-Newton form (heads stay exact)."""
         if residual_hessian == "exact" or self.residual is None:
             return jax.grad(
-                lambda mm, SS: self.expected_log_lik_blocks(Y, mm, SS),
+                lambda mm, SS: self.expected_log_lik_blocks(Y, mm, SS, key=key),
                 argnums=(0, 1),
             )(m, S)
 
@@ -162,10 +166,10 @@ class CompositeLikelihood(Likelihood):
             if self.residual_mask is None
             else self.residual_mask
         )
-        r1, r2 = self.residual.gauss_newton_grads(mask, m, S)
+        r1, r2 = self.residual.gauss_newton_grads(mask, m, S, key=key)
         return g1 + r1, g2 + r2
 
-    def expected_log_lik_blocks(self, Y, m, S):
+    def expected_log_lik_blocks(self, Y, m, S, key=None):
         """Total ELL given block moments (m [T,p], S [T,p,p])."""
         from .nongaussian import expected_log_lik
 
@@ -181,8 +185,50 @@ class CompositeLikelihood(Likelihood):
                 if self.residual_mask is None
                 else self.residual_mask
             )
-            total = total + self.residual.ell(mask, m, S)
+            total = total + self.residual.ell(mask, m, S, key=key)
         return total
+
+    def predict_y_moments(self, f_mean, f_var, gh_points: int = 20):
+        """Per-head moment-matched predictive p(y*) — (mean, var), each [T, p].
+
+        Routes column h of q(f) through head h's own conditional moments by
+        Gauss-Hermite quadrature, the reference's per-likelihood predictive
+        dispatch (`computation/predictors/y_predictors.py`; product
+        likelihoods route per head, `dispatched_ell.py:356-649`). The
+        nonlinear residual is a training device and is excluded, as the
+        reference excludes its constraint pseudo-observations.
+        """
+        from ..ops.quadrature import expect_gh
+
+        means, vrs = [], []
+        for h, lik in enumerate(self.heads):
+            m, v = f_mean[..., h], f_var[..., h]
+            ey = expect_gh(lik.conditional_mean, m, v, gh_points)
+            ey2 = expect_gh(
+                lambda ff, lik=lik: lik.conditional_variance(ff)
+                + lik.conditional_mean(ff) ** 2,
+                m, v, gh_points,
+            )
+            means.append(ey)
+            vrs.append(ey2 - ey * ey)
+        return jnp.stack(means, -1), jnp.stack(vrs, -1)
+
+    def predictive_density(self, y, f_mean, f_var, gh_points: int = 20):
+        """Elementwise p(y*_th) = ∫ p(y|f) q(f) df per head; [T, p]."""
+        from ..ops.quadrature import expect_gh
+
+        cols = []
+        for h, lik in enumerate(self.heads):
+            y0 = jnp.nan_to_num(y[..., h])  # quadrature-safe; masked by caller
+            cols.append(
+                expect_gh(
+                    lambda ff, lik=lik, y0=y0: jnp.exp(
+                        lik.log_prob(y0[..., None], ff)
+                    ),
+                    f_mean[..., h], f_var[..., h], gh_points,
+                )
+            )
+        return jnp.stack(cols, -1)
 
     def log_prob(self, y, f):
         """Columnwise log-prob (heads only; residual is a training device)."""

@@ -90,13 +90,17 @@ class DynamicCovarianceGaussian(Likelihood):
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
         return -0.5 * (jnp.sum(alpha * alpha) + logdet + P * _LOG2PI)
 
-    def expected_log_lik_blocks(self, Y_unused, m, S):
-        """MC ELL through the joint block posterior q(f_t) = N(m_t, S_t)."""
+    def expected_log_lik_blocks(self, Y_unused, m, S, key=None):
+        """MC ELL through the joint block posterior q(f_t) = N(m_t, S_t).
+
+        key=None falls back to the static seed (frozen noise); training
+        loops should pass a fresh key per step."""
         from ..ops.matrix import safe_cholesky
 
         Ls = safe_cholesky(S)
         eps = jax.random.normal(
-            jax.random.PRNGKey(self.seed), (self.n_mc,) + m.shape, m.dtype
+            jax.random.PRNGKey(self.seed) if key is None else key,
+            (self.n_mc,) + m.shape, m.dtype
         )
         f = m[None] + jnp.einsum("tij,ntj->nti", Ls, eps)  # [n, T, Q]
         z = jnp.tanh(f)  # correlation_transform
@@ -107,7 +111,8 @@ class DynamicCovarianceGaussian(Likelihood):
         ok = jnp.all(jnp.isfinite(self.y), axis=-1)
         return jnp.sum(jnp.where(ok, jnp.mean(ll, axis=0), 0.0))
 
-    def natgrad_moments(self, Y_unused, m, S, residual_hessian: str = "gauss_newton"):
+    def natgrad_moments(self, Y_unused, m, S,
+                        residual_hessian: str = "gauss_newton", key=None):
         """(g1, g2) for the CVI site update with an EMPIRICAL-FISHER Hessian.
 
         Bonnet/Price identities give dELL/dm = E[∇_f log p] and
@@ -122,7 +127,9 @@ class DynamicCovarianceGaussian(Likelihood):
 
         Ls = safe_cholesky(S)
         eps = jax.random.normal(
-            jax.random.PRNGKey(self.seed + 1), (self.n_mc,) + m.shape, m.dtype
+            jax.random.PRNGKey(self.seed + 1) if key is None
+            else jax.random.fold_in(key, 1),
+            (self.n_mc,) + m.shape, m.dtype
         )
         f = m[None] + jnp.einsum("tij,ntj->nti", Ls, eps)  # [n, T, Q]
         y0 = jnp.nan_to_num(self.y)

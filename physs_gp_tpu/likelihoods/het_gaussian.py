@@ -33,7 +33,7 @@ class HetGaussian(Likelihood):
         var = jnp.exp(2.0 * f2)
         return -0.5 * (_LOG2PI + 2.0 * f2 + (y - f1) ** 2 / var)
 
-    def expected_log_lik_blocks(self, y, m, S):
+    def expected_log_lik_blocks(self, y, m, S, key=None):  # key unused (deterministic)
         """y [T] targets; m [T, 2], S [T, 2, 2] joint head moments.
 
         Mean-field in (f1, f2) is exact here only if S is diagonal; the

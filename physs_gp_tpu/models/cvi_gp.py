@@ -116,7 +116,7 @@ class CVIGP:
             p=self.Y.shape[1],
         )
 
-    def _ell_data(self, m, S):
+    def _ell_data(self, m, S, key=None):
         mu = self._mu()
         if mu is not None:
             m = m + mu
@@ -133,7 +133,9 @@ class CVIGP:
         if hasattr(self.likelihood, "expected_log_lik_blocks"):
             # block likelihoods: Composite (per-column heads + residuals),
             # DynamicCovarianceGaussian (joint y_t ~ N(0, Σ(f_t))), ...
-            return self.likelihood.expected_log_lik_blocks(self.Y, m, S)
+            return self.likelihood.expected_log_lik_blocks(
+                self.Y, m, S, key=key
+            )
         v = jnp.diagonal(S, axis1=-2, axis2=-1)
         return jnp.sum(expected_log_lik(self.likelihood, self.Y, m, v))
 
@@ -155,40 +157,49 @@ class CVIGP:
         return jnp.sum(logpdf) - 0.5 * jnp.sum(tr)
 
     # ---- public API ----
-    def elbo(self) -> jnp.ndarray:
+    def elbo(self, key=None) -> jnp.ndarray:
+        """key: PRNG key for stochastic (MC) ELL terms; None = frozen seed."""
         lml_sur, m, S = self._surrogate_pass()
-        return self._ell_data(m, S) - self._ell_sites(m, S) + lml_sur
+        return self._ell_data(m, S, key=key) - self._ell_sites(m, S) + lml_sur
 
-    def get_objective(self) -> jnp.ndarray:
-        return -self.elbo()
+    def get_objective(self, key=None) -> jnp.ndarray:
+        return -self.elbo(key=key)
 
-    def _site_grads(self, m, S, hessian: str):
+    def _site_grads(self, m, S, hessian: str, key=None):
         """(g1, g2) of the data ELL; hessian='gauss_newton' uses the PSD-safe
         GN form for residual terms (ref `cvi_hessian_approximations.py`)."""
         if hessian != "exact" and hasattr(self.likelihood, "natgrad_moments"):
             return self.likelihood.natgrad_moments(
-                self.Y, m, S, residual_hessian=hessian
+                self.Y, m, S, residual_hessian=hessian, key=key
             )
         return None  # natgrad_update autodiffs the exact ELL
 
-    def natural_gradient_update(self, lr: float, hessian: str = "exact") -> "CVIGP":
-        """One CVI step on all sites (ref `cvi_nat_grad.py:346-410`)."""
+    def natural_gradient_update(self, lr: float, hessian: str = "exact",
+                                key=None) -> "CVIGP":
+        """One CVI step on all sites (ref `cvi_nat_grad.py:346-410`).
+
+        `key` refreshes the MC noise in stochastic ELL terms each call; the
+        key stays OUTSIDE the differentiated arguments (closed over), so
+        jax.grad never sees a uint32 leaf."""
         _, m, S = self._surrogate_pass()
         new_sites = natgrad_update(
-            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr,
-            grads=self._site_grads(m, S, hessian),
+            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS, key=key),
+            lr, grads=self._site_grads(m, S, hessian, key=key),
         )
         return replace(self, sites=new_sites)
 
-    def step_with_elbo(self, lr: float, hessian: str = "exact"):
+    def step_with_elbo(self, lr: float, hessian: str = "exact", key=None):
         """One CVI step + the (pre-update) ELBO from a SINGLE surrogate
         filter+smoother pass — use this in training loops instead of
-        natural_gradient_update + elbo, which would run the pass twice."""
+        natural_gradient_update + elbo, which would run the pass twice.
+
+        Pass a fresh `key` per iteration for unbiased stochastic (MC) ELLs;
+        the reported ELBO and the site gradients share the same samples."""
         lml_sur, m, S = self._surrogate_pass()
-        elbo = self._ell_data(m, S) - self._ell_sites(m, S) + lml_sur
+        elbo = self._ell_data(m, S, key=key) - self._ell_sites(m, S) + lml_sur
         new_sites = natgrad_update(
-            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS), lr,
-            grads=self._site_grads(m, S, hessian),
+            self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS, key=key),
+            lr, grads=self._site_grads(m, S, hessian, key=key),
         )
         return replace(self, sites=new_sites), elbo
 
@@ -227,11 +238,18 @@ class CVIGP:
         return out
 
     def predict_y(self, t_new, gh_points: int = 20) -> GaussianMoments:
-        """Moment-matched predictive p(y*) (ref `y_predictors.py`)."""
+        """Moment-matched predictive p(y*) (ref `y_predictors.py`).
+
+        Composite (multi-head) likelihoods route per head — column h of q(f)
+        through head h's conditional moments (ref product-likelihood dispatch
+        `dispatched_ell.py:356-649`); the residual term is excluded."""
         from ..ops.quadrature import expect_gh
 
         f = self.predict_f(t_new)
         lik = self.likelihood
+        if hasattr(lik, "predict_y_moments"):
+            ey, vy = lik.predict_y_moments(f.mean, f.var, gh_points)
+            return GaussianMoments(mean=ey, var=vy)
         ey = expect_gh(lik.conditional_mean, f.mean, f.var, gh_points)
         ey2 = expect_gh(
             lambda ff: lik.conditional_variance(ff) + lik.conditional_mean(ff) ** 2,
@@ -242,18 +260,30 @@ class CVIGP:
         return GaussianMoments(mean=ey, var=ey2 - ey**2)
 
     def nlpd(self, t_new, y_new, gh_points: int = 20) -> jnp.ndarray:
-        """Negative log predictive density via quadrature + logsumexp-free
-        Gauss-Hermite (ref `metrics/nlpd.py:44`)."""
+        """Negative log predictive density via Gauss-Hermite quadrature
+        (ref `metrics/nlpd.py:44`), averaged over finite y elements.
+
+        Composite likelihoods evaluate each head's own predictive density on
+        its column; NaN y elements (e.g. constraint-only heads) drop out."""
         from ..ops.quadrature import expect_gh
 
         f = self.predict_f(t_new)
         y_new = jnp.reshape(y_new, f.mean.shape)  # [T, p], strict
-        pd = expect_gh(
-            lambda ff: jnp.exp(self.likelihood.log_prob(y_new[..., None], ff)),
-            f.mean,
-            f.var,
-            gh_points,
-        )
+        if hasattr(self.likelihood, "predictive_density"):
+            pd = self.likelihood.predictive_density(
+                y_new, f.mean, f.var, gh_points
+            )
+        else:
+            pd = expect_gh(
+                lambda ff: jnp.exp(
+                    self.likelihood.log_prob(
+                        jnp.nan_to_num(y_new)[..., None], ff
+                    )
+                ),
+                f.mean,
+                f.var,
+                gh_points,
+            )
         val = -jnp.log(jnp.maximum(pd, 1e-300))
         ok = jnp.isfinite(y_new)
         return jnp.sum(jnp.where(ok, val, 0.0)) / jnp.sum(ok)

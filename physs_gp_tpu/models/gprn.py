@@ -7,6 +7,14 @@ latent functions g_l are GPs. Inference is mean-field sparse VI over the
 stacked latents with a reparameterised-MC expected log-likelihood (the
 reference routes this through its sampled-ELL dispatch,
 `dispatched_ell.py:255`).
+
+Mixing parameterisations (`mixing=`; ref `GPRN`/`GPRN_Exp`/`GPRN_LDL`/
+`GPRN_DRD`, `multi_output.py:39-203`):
+- "plain":    y = W g, W the P*L weight GPs;
+- "softplus": y = softplus(W) g — positive mixing weights;
+- "ldl":      W unit-lower-triangular, strict-lower entries are GPs;
+- "drd":      W = diag(scales) @ corr-chol(2*Phi(W_gp)-1) — time/space-
+              varying correlation with trainable static scales (L == P).
 """
 from __future__ import annotations
 
@@ -48,42 +56,99 @@ class GPRN:
     noise: Param
     q_mu: Param  # [L_tot, M]
     q_sqrt: Param  # [L_tot, M(M+1)/2]
+    drd_scales: object = None  # [P] positive Param (mixing="drd" only)
     seed: int = static(default=0)  # static: uint32 key leaves break jax.grad
     n_latent: int = static(default=1)
     n_mc: int = static(default=16)
+    mixing: str = static(default="plain")
 
     @property
     def key(self):
         return jax.random.PRNGKey(self.seed)
 
+    @staticmethod
+    def _n_w(mixing: str, P: int, L: int) -> int:
+        """Number of mixing-weight latent GPs for each parameterisation."""
+        if mixing in ("plain", "softplus"):
+            return P * L
+        if mixing == "ldl":
+            import numpy as onp
+
+            return len(onp.tril_indices(P, -1, L)[0])
+        if mixing == "drd":
+            if L != P:
+                raise ValueError(
+                    f"mixing='drd' needs n_latent == n_outputs (got {L} vs {P})"
+                )
+            return P * (P - 1) // 2
+        raise ValueError(f"unknown GPRN mixing {mixing!r}")
+
     @classmethod
     def init(cls, X, Y, Z, kernel_w, kernel_g, n_latent=1, noise=0.1,
-             n_mc=16, key=None):
+             n_mc=16, key=None, mixing: str = "plain"):
         X, Y, Z = jnp.atleast_2d(X), jnp.atleast_2d(Y), jnp.atleast_2d(Z)
         P = Y.shape[1]
-        L_tot = P * n_latent + n_latent
+        n_w = cls._n_w(mixing, P, n_latent)
+        L_tot = n_w + n_latent
         M = Z.shape[0]
         tril0 = tril_param(0.3 * jnp.eye(M)).raw
-        # break the W*g = 0 saddle: weight latents start near 1, latents at 0
-        q_mu0 = jnp.zeros((L_tot, M)).at[: P * n_latent].set(1.0)
+        q_mu0 = jnp.zeros((L_tot, M))
+        if mixing in ("plain", "softplus"):
+            # break the W*g = 0 saddle: weight latents start near 1
+            q_mu0 = q_mu0.at[:n_w].set(1.0)
+        # ldl/drd have a unit diagonal built in — zeros give W = I
         return cls(
             X=X, Y=Y, Z=Z, kernel_w=kernel_w, kernel_g=kernel_g,
             noise=positive_param(noise),
             q_mu=param(q_mu0),
             q_sqrt=param(jnp.tile(tril0[None], (L_tot, 1))),
+            drd_scales=(
+                positive_param(jnp.ones(P)) if mixing == "drd" else None
+            ),
             seed=key if isinstance(key, int) else 0,
-            n_latent=n_latent, n_mc=n_mc,
+            n_latent=n_latent, n_mc=n_mc, mixing=mixing,
         )
+
+    def _mix(self, f, Ns):
+        """f [S, L_tot, Ns] latent samples -> mixed outputs y_hat [S, Ns, P]."""
+        P = self.Y.shape[1]
+        L = self.n_latent
+        S = f.shape[0]
+        n_w = self._n_w(self.mixing, P, L)
+        fW = f[:, :n_w]  # [S, n_w, Ns]
+        g = f[:, n_w:]  # [S, L, Ns]
+        if self.mixing in ("plain", "softplus"):
+            W = fW.reshape(S, P, L, Ns)
+            if self.mixing == "softplus":
+                W = jax.nn.softplus(W)
+            return jnp.einsum("spln,sln->snp", W, g)
+        if self.mixing == "ldl":
+            import numpy as onp
+
+            rows, cols = onp.tril_indices(P, -1, L)
+            W = jnp.broadcast_to(
+                jnp.eye(P, L, dtype=f.dtype), (S, Ns, P, L)
+            )
+            W = W.at[:, :, rows, cols].set(jnp.moveaxis(fW, 1, -1))
+            return jnp.einsum("snpl,sln->snp", W, g)
+        # drd: correlation Cholesky of squashed weight GPs, static scales
+        from ..likelihoods.dynamic_covariance import correlation_cholesky
+
+        z = 2.0 * jax.scipy.stats.norm.cdf(jnp.moveaxis(fW, 1, -1)) - 1.0
+        Lc = correlation_cholesky(z, P)  # [S, Ns, P, P]
+        W = self.drd_scales.value[:, None] * Lc
+        return jnp.einsum("snpl,sln->snp", W, g)
 
     def _marginals(self, Xs):
         """Whitened per-latent marginals at Xs: mean/var [L_tot, Ns]."""
         M = self.Z.shape[0]
         P = self.Y.shape[1]
         L = self.n_latent
+        n_w = self._n_w(self.mixing, P, L)
         out_means, out_vars = [], []
         for kern, n_lat, sl in (
-            (self.kernel_w, P * L, slice(0, P * L)),
-            (self.kernel_g, L, slice(P * L, P * L + L)),
+            (self.kernel_w, n_w, slice(0, n_w)),
+            (self.kernel_g, L, slice(n_w, n_w + L)),
         ):
             Kzz = kern.K(self.Z, self.Z)
             Lz = _chol_gram(Kzz)
@@ -111,18 +176,18 @@ class GPRN:
         )
 
     @highest_precision
-    def elbo(self) -> jnp.ndarray:
+    def elbo(self, key=None) -> jnp.ndarray:
+        """key: fresh PRNG key per training step for unbiased MC ELL;
+        None falls back to the static seed (frozen noise)."""
         mu, var = self._marginals(self.X)  # [L_tot, N]
         P = self.Y.shape[1]
         L = self.n_latent
         N = self.X.shape[0]
         eps = jax.random.normal(
-            self.key, (self.n_mc,) + mu.shape, mu.dtype
+            self.key if key is None else key, (self.n_mc,) + mu.shape, mu.dtype
         )
         f = mu[None] + jnp.sqrt(var)[None] * eps  # [S, L_tot, N]
-        W = f[:, : P * L].reshape(self.n_mc, P, L, N)
-        g = f[:, P * L :]  # [S, L, N]
-        y_hat = jnp.einsum("spln,sln->snp", W, g)  # [S, N, P]
+        y_hat = self._mix(f, N)  # [S, N, P]
         nv = self.noise.value
         ok = jnp.isfinite(self.Y)
         y0 = jnp.nan_to_num(self.Y)
@@ -130,8 +195,8 @@ class GPRN:
         ell = jnp.sum(jnp.where(ok[None], ll, 0.0)) / self.n_mc
         return ell - self._kl()
 
-    def get_objective(self) -> jnp.ndarray:
-        return -self.elbo()
+    def get_objective(self, key=None) -> jnp.ndarray:
+        return -self.elbo(key=key)
 
     def predict_f(self, Xs, n_mc: int = 64) -> GaussianMoments:
         """MC moments of the mixed outputs at Xs."""
@@ -143,9 +208,7 @@ class GPRN:
             jax.random.fold_in(self.key, 1), (n_mc,) + mu.shape, mu.dtype
         )
         f = mu[None] + jnp.sqrt(var)[None] * eps
-        W = f[:, : P * L].reshape(n_mc, P, L, Ns)
-        g = f[:, P * L :]
-        y_hat = jnp.einsum("spln,sln->snp", W, g)
+        y_hat = self._mix(f, Ns)
         return GaussianMoments(
             mean=jnp.mean(y_hat, 0), var=jnp.var(y_hat, 0)
         )

@@ -133,6 +133,16 @@ class StateSpaceGP:
         t_new = jnp.ravel(t_new)
         n_new = t_new.shape[0]
         T, p = self.Y.shape
+        corr = None
+        if self.observation is not None:
+            if self.observation.H(self.kernel).ndim == 3:
+                raise ValueError(
+                    "predict_f does not support time-varying observation "
+                    "operators (H [T, Ng, d], e.g. ScatteredSpatialHead): the "
+                    "training H cannot be reused on the augmented time grid. "
+                    "Use physs_gp_tpu.zoo.scattered_st_predict instead."
+                )
+            corr = self.observation.var_correction(self.kernel)
         t_all = jnp.concatenate([self.t, t_new])
         mu = self._mu()
         Yc = self.Y if mu is None else self.Y - mu
@@ -142,6 +152,12 @@ class StateSpaceGP:
         # pad the observation covariance with identity blocks at test points
         # (masked anyway; ref `models/sde_gp.py:493` get_likelihood_for_prediction)
         R_train = self.likelihood.R(T, p)
+        if corr is not None:
+            # same off-site conditional-variance fold-in as _filter_inputs —
+            # training rows must condition on the noise model used by the lml
+            R_train = R_train + jax.vmap(jnp.diag)(
+                jnp.broadcast_to(corr, (T, p))
+            )
         R_all = jnp.concatenate(
             [R_train, jnp.broadcast_to(jnp.eye(p, dtype=R_train.dtype),
                                        (n_new, p, p))]
@@ -158,6 +174,10 @@ class StateSpaceGP:
         ]
         if mu is not None:
             mean = mean + self._mu(t=t_new)
+        if corr is not None:
+            # predictions marginalise over the off-site conditional residual
+            # too, mirroring posterior()
+            var = var + corr
         return GaussianMoments(mean=mean, var=var)
 
     def predict_y(self, t_new: jnp.ndarray) -> GaussianMoments:

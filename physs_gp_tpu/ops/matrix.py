@@ -55,10 +55,11 @@ def highest_precision(fn):
     """
     import os
 
-    level = os.environ.get("PHYSS_MATMUL_PRECISION", "highest")
-
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        # read per call (not at decoration time) so the env var works as the
+        # runtime knob the docstring promises
+        level = os.environ.get("PHYSS_MATMUL_PRECISION", "highest")
         with jax.default_matmul_precision(level):
             return fn(*args, **kwargs)
 

@@ -23,8 +23,12 @@ def _pad_amount(T: int, chunk_size, n_shards: int = 1) -> int:
     unit = n_shards * (chunk_size or 1)
     if n_shards == 1 and (chunk_size is None or T <= chunk_size):
         return 0
-    if n_shards > 1 and chunk_size is not None and T // n_shards <= chunk_size:
-        unit = n_shards  # chunking is a no-op within each segment
+    if n_shards > 1 and chunk_size is not None:
+        # judge the no-op on the PADDED per-shard segment length ceil(T/n):
+        # with T=1001, 8 shards, chunk=125 the floor test would pick unit=8
+        # and leave a 126-step segment that does not divide by chunk_size
+        if -(-T // n_shards) <= chunk_size:
+            unit = n_shards  # chunking is a no-op within each segment
     return (-T) % unit
 
 

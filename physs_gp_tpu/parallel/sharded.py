@@ -172,21 +172,26 @@ def sharded_filter_smoother(
     assert T % n_dev == 0, f"T={T} must divide over {n_dev} '{axis}' shards"
     if mask is None:
         mask = observation_mask(y, P0.dtype)
-    assert H.ndim == 2, "sharded path assumes a time-invariant H"
     dtype = P0.dtype
 
     spec = P(axis)
     rep = P()
+    # time-varying H [T, p, d] (scattered sensors / ragged groups) shards
+    # along the time axis like A/Q/R; time-invariant H [p, d] is replicated
+    spec_H = spec if H.ndim == 3 else rep
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec, spec, rep, spec, spec, rep, rep),
+        in_specs=(spec, spec, spec_H, spec, spec, rep, rep),
         out_specs=(spec, spec, spec, spec, spec, spec),
     )
     def run(A_l, Q_l, H_, R_l, y_mask_l, m0_, P0_):
         y_l, mask_l = y_mask_l[..., 0], y_mask_l[..., 1]
-        H_l = jnp.broadcast_to(H_, (y_l.shape[0],) + H_.shape)
+        H_l = (
+            H_ if H_.ndim == 3
+            else jnp.broadcast_to(H_, (y_l.shape[0],) + H_.shape)
+        )
         idx = jax.lax.axis_index(axis)
         # --- filtering elements; prior folded on chip 0 only ---
         elems0 = _build_filter_elements(
@@ -376,21 +381,24 @@ def sharded_sqrt_filter_smoother(
     assert T % n_dev == 0, f"T={T} must divide over {n_dev} '{axis}' shards"
     if mask is None:
         mask = observation_mask(y, P0_sqrt.dtype)
-    assert H.ndim == 2, "sharded path assumes a time-invariant H"
     dtype = P0_sqrt.dtype
 
     spec = P(axis)
     rep = P()
+    spec_H = spec if H.ndim == 3 else rep  # time-varying H shards over time
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec, spec, rep, spec, spec, rep, rep),
+        in_specs=(spec, spec, spec_H, spec, spec, rep, rep),
         out_specs=(spec, spec, spec, spec, spec, spec),
     )
     def run(A_l, Qs_l, H_, Rs_l, y_mask_l, m0_, U0_):
         y_l, mask_l = y_mask_l[..., 0], y_mask_l[..., 1]
-        H_l = jnp.broadcast_to(H_, (y_l.shape[0],) + H_.shape)
+        H_l = (
+            H_ if H_.ndim == 3
+            else jnp.broadcast_to(H_, (y_l.shape[0],) + H_.shape)
+        )
         idx = jax.lax.axis_index(axis)
         elems0 = _build_sqrt_elements(
             A_l, Qs_l, H_l, Rs_l, y_l, mask_l, m0_, U0_

@@ -37,12 +37,19 @@ def lr_schedule(kind: str, base: float, n: int):
 
 
 class AdamTrainer:
-    """Adam on the model's hyperparameters (non-fixed Params only)."""
+    """Adam on the model's hyperparameters (non-fixed Params only).
 
-    def __init__(self, model: Any, lr: float = 1e-2):
+    `seed`: when set, a fresh PRNG key is split per epoch and passed to
+    `get_objective(key=...)` so stochastic (MC) objectives resample each step
+    (ref `computation/integrals/samples.py:116` advances its RNG per call);
+    requires the model's objective to accept a `key` kwarg.
+    """
+
+    def __init__(self, model: Any, lr: float = 1e-2, seed: int | None = None):
         self.opt = optax.adam(lr)
         self.mask = trainable_mask(model)
         self.opt_state = self.opt.init(model)
+        self._key = None if seed is None else jax.random.PRNGKey(seed)
 
         @jax.jit
         def step(model, opt_state):
@@ -51,12 +58,28 @@ class AdamTrainer:
             updates, opt_state = self.opt.update(grads, opt_state)
             return optax.apply_updates(model, updates), opt_state, loss
 
+        @jax.jit
+        def step_key(model, opt_state, key):
+            loss, grads = jax.value_and_grad(
+                lambda m: m.get_objective(key=key)
+            )(model)
+            grads = zero_untrainable(grads, self.mask)
+            updates, opt_state = self.opt.update(grads, opt_state)
+            return optax.apply_updates(model, updates), opt_state, loss
+
         self._step = step
+        self._step_key = step_key
 
     def train(self, model: Any, epochs: int, callback: Callable | None = None):
         losses = []
         for i in range(epochs):
-            model, self.opt_state, loss = self._step(model, self.opt_state)
+            if self._key is None:
+                model, self.opt_state, loss = self._step(model, self.opt_state)
+            else:
+                self._key, k = jax.random.split(self._key)
+                model, self.opt_state, loss = self._step_key(
+                    model, self.opt_state, k
+                )
             losses.append(float(loss))
             if callback:
                 callback(i, model, float(loss))
@@ -64,12 +87,25 @@ class AdamTrainer:
 
 
 class NatGradTrainer:
-    """Natural-gradient site updates with a NaN-guard retry loop."""
+    """Natural-gradient site updates with a NaN-guard retry loop.
 
-    def __init__(self, nan_max_attempts: int = 4):
+    `seed`: when set, a fresh PRNG key is split per step (and per NaN retry)
+    and passed to `natural_gradient_update(..., key=...)` so MC ELL terms
+    resample each iteration instead of optimising one frozen noise draw.
+    """
+
+    def __init__(self, nan_max_attempts: int = 4, hessian: str = "exact",
+                 seed: int | None = None):
         self.nan_max_attempts = nan_max_attempts
+        self._key = None if seed is None else jax.random.PRNGKey(seed)
         self._step = jax.jit(
-            lambda model, lr: model.natural_gradient_update(lr),
+            lambda model, lr: model.natural_gradient_update(lr, hessian),
+            static_argnums=(),
+        )
+        self._step_key = jax.jit(
+            lambda model, lr, key: model.natural_gradient_update(
+                lr, hessian, key=key
+            ),
             static_argnums=(),
         )
 
@@ -79,7 +115,11 @@ class NatGradTrainer:
         for i, lr in enumerate(lrs):
             lr_try = float(lr)
             for _ in range(self.nan_max_attempts):
-                new_model = self._step(model, lr_try)
+                if self._key is None:
+                    new_model = self._step(model, lr_try)
+                else:
+                    self._key, k = jax.random.split(self._key)
+                    new_model = self._step_key(model, lr_try, k)
                 # A diverged step shows up as non-finite site variances, or as
                 # NaNs leaking into site means that were previously active
                 # (inactive site means are NaN by convention — compare the
@@ -107,9 +147,12 @@ class VB_NG_Adam:
     """Alternate: one natural-gradient site step + one Adam hyperparam step
     per epoch (ref `standard.py:58` VB_NG_ADAM)."""
 
-    def __init__(self, model: Any, adam_lr: float = 1e-2, ng_lr: float = 1.0):
-        self.adam = AdamTrainer(model, adam_lr)
-        self.ng = NatGradTrainer()
+    def __init__(self, model: Any, adam_lr: float = 1e-2, ng_lr: float = 1.0,
+                 hessian: str = "exact", seed: int | None = None):
+        self.adam = AdamTrainer(model, adam_lr, seed=seed)
+        self.ng = NatGradTrainer(
+            hessian=hessian, seed=None if seed is None else seed + 1
+        )
         self.ng_lr = ng_lr
 
     def train(self, model: Any, epochs: int, callback: Callable | None = None):

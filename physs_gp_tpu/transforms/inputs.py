@@ -56,7 +56,7 @@ class UncertainInputLikelihood:
         var = var_f + sx2 * (df * df + var_df)
         return mean, var
 
-    def expected_log_lik_blocks(self, Y, m, S):
+    def expected_log_lik_blocks(self, Y, m, S, key=None):  # key unused (deterministic)
         mean, var = self.transformed_moments(m, S)
         return jnp.sum(expected_log_lik(self.base, Y[:, 0], mean, var))
 

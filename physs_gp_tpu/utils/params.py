@@ -25,6 +25,7 @@ __all__ = [
     "identity",
     "Param",
     "param",
+    "NegParam",
     "positive_param",
     "fill_triangular",
     "fill_triangular_inverse",
@@ -135,3 +136,19 @@ def tril_param(mat: jnp.ndarray) -> Param:
 
 def tril_value(p: Param, n: int) -> jnp.ndarray:
     return fill_triangular(p.value, n)
+
+
+@module
+class NegParam:
+    """View of a (typically positive) Param as its negation.
+
+    Lets a model expose a strictly-negative trainable coefficient (e.g. the
+    -a Δf advection/diffusion terms, monotonicity's -ε) while the underlying
+    Param trains in the positive bijector's well-conditioned space.
+    """
+
+    base: Param
+
+    @property
+    def value(self):
+        return -self.base.value

@@ -29,7 +29,7 @@ from ..transforms.operators import (
     StateObservation,
     ValueHead,
 )
-from ..utils.params import Param, positive_param
+from ..utils.params import NegParam, Param, positive_param
 
 __all__ = ["ode_gp", "monotonic_cvi_gp", "nonlinear_ode_cvi_gp", "allen_cahn_gp"]
 
@@ -218,7 +218,7 @@ def allen_cahn_gp(
     eps_c = epsilon
     neg_eps = (
         -eps_c if not isinstance(eps_c, Param)
-        else _NegView(base=eps_c)
+        else NegParam(base=eps_c)
     )
     obs = StateObservation(heads=[
         SpatialHead(points=Z),
@@ -256,16 +256,3 @@ def allen_cahn_gp(
         site_var=site_var,
     )
 
-
-from ..utils.struct import module as _module_
-
-
-@_module_
-class _NegView:
-    """A positive Param seen as its negation (trainable ε in −ε Δ terms)."""
-
-    base: Param
-
-    @property
-    def value(self):
-        return -self.base.value

@@ -25,7 +25,7 @@ from ..transforms.operators import (
     s_grad,
     s_laplacian,
 )
-from ..utils.params import Param, param, positive_param
+from ..utils.params import NegParam, Param, param, positive_param
 
 __all__ = ["st_gp", "advection_diffusion_gp", "sparse_st_gp", "scattered_st_gp", "scattered_st_predict"]
 
@@ -218,6 +218,14 @@ def scattered_st_gp(
     from ..transforms.operators import ScatteredSpatialHead, StateObservation
 
     data = TemporallyGroupedData.from_scattered(np.asarray(X), np.asarray(Y))
+    if data.P > 1:
+        raise ValueError(
+            "scattered_st_gp currently supports single-output data only "
+            f"(got P={data.P}): ScatteredSpatialHead emits Ng observation "
+            "rows per step, so multi-output Y would mismatch H/R. Model "
+            "each output column as its own scattered_st_gp, or use st_gp "
+            "with an LMC kernel for coupled outputs."
+        )
     if Z is None:
         pts = np.asarray(X)[:, 1:]
         if n_inducing is not None and n_inducing < pts.shape[0]:
@@ -288,16 +296,3 @@ def scattered_st_predict(model, data, X_query):
     var_rows = d2.unsort(np.asarray(post.var))
     return GaussianMoments(mean=mean_rows[-nq:], var=var_rows[-nq:])
 
-
-from ..utils.struct import module as _module
-
-
-@_module
-class NegParam:
-    """View of a positive Param as its negation (for -a Δf terms)."""
-
-    base: Param
-
-    @property
-    def value(self):
-        return -self.base.value

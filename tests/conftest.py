@@ -20,3 +20,13 @@ import jax
 # as no backend has been initialised yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked `slow` is `quick`, so `-m quick` runs a fast
+    smoke tier and `-m slow` the multi-minute gates; no marker runs all."""
+    import pytest
+
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -9,6 +9,7 @@ extrapolation ≪ physics-off, AND the posteriors actually differ.
 Reference: `experiments/ac/models/m_pigp.py:133-195`, `transforms/pdes.py:223`.
 Config validated standalone: on=0.174 vs off=0.548 (seed 0, 150 iters).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,9 @@ from physs_gp_tpu.kernels.rbf import RBF
 from physs_gp_tpu.utils.params import positive_param
 from physs_gp_tpu.utils.struct import replace
 from physs_gp_tpu.zoo import allen_cahn_gp
+
+
+pytestmark = pytest.mark.slow  # multi-minute gate tier
 
 EPS, T_END, CUT = 0.08, 3.5, 1.0
 

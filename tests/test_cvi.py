@@ -18,6 +18,9 @@ from physs_gp_tpu.utils.params import positive_param
 from physs_gp_tpu.utils.struct import replace
 
 
+
+pytestmark = pytest.mark.slow  # multi-minute gate tier
+
 def test_gaussian_cvi_one_step_exact():
     rng = np.random.default_rng(0)
     T = 40

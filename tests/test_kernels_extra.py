@@ -1,5 +1,7 @@
 """Extra kernel families: periodic (+SS approx), quasi-periodic exact noise,
 Wiener family, RQ/SM/arccosine/Gibbs/deep."""
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +11,7 @@ from physs_gp_tpu.kernels import Matern32, Matern52, RBF
 from physs_gp_tpu.kernels.markov import noise_matrix, to_ss, transition_matrix
 from physs_gp_tpu.kernels.misc import RQ, ArcCosine, DeepKernel, Gibbs, SpectralMixture
 from physs_gp_tpu.kernels.periodic import Periodic, _bessel_i
-from physs_gp_tpu.kernels.wiener import Wiener, WienerVelocity
+from physs_gp_tpu.kernels.wiener import IntegratedWiener, Wiener, WienerVelocity
 from physs_gp_tpu.likelihoods import Gaussian
 from physs_gp_tpu.models import StateSpaceGP
 from physs_gp_tpu.utils.params import positive_param
@@ -81,7 +83,15 @@ def test_quasiperiodic_ssgp_matches_dense():
     assert w.min() > -1e-12
 
 
-@pytest.mark.parametrize("make", [Wiener, WienerVelocity])
+@pytest.mark.parametrize(
+    "make",
+    [
+        Wiener,
+        WienerVelocity,
+        functools.partial(IntegratedWiener, q=2),
+        functools.partial(IntegratedWiener, q=3),
+    ],
+)
 def test_wiener_ssgp_matches_dense(make):
     rng = np.random.default_rng(1)
     T = 30

@@ -23,6 +23,8 @@ from physs_gp_tpu.transforms import (
 from physs_gp_tpu.utils.params import positive_param
 from physs_gp_tpu.zoo import monotonic_cvi_gp, nonlinear_ode_cvi_gp, ode_gp
 
+pytestmark = pytest.mark.slow  # multi-minute gate tier
+
 
 def _dense_joint_lml(kernel, obs, t, Y, R_diag):
     """Dense GP lml over multi-head observations, built from the SS rep:

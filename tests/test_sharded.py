@@ -142,3 +142,73 @@ def test_cvi_step_with_mesh_matches_local():
         np.asarray(m1_m.sites.V), np.asarray(m1_l.sites.V), rtol=1e-6,
         atol=1e-10,
     )
+
+
+@pytest.mark.parametrize("chunk", [None, 8])
+def test_sharded_time_varying_H(chunk):
+    """Time-varying H [T, p, d] (scattered-sensor shape) shards over time and
+    matches the single-device sequential filter/smoother."""
+    rng = np.random.default_rng(4)
+    T, p = 128, 2
+    t = np.sort(rng.uniform(0, 10, T))
+    kern = Matern52(lengthscale=0.7, variance=1.2)
+    ssm = build_lgssm(kern, jnp.asarray(t))
+    d = ssm.m0.shape[-1]
+    H_tv = jnp.asarray(rng.normal(size=(T, p, d)) * 0.5)
+    y = jnp.einsum("tpd,d->tp", H_tv, jnp.ones(d)) + 0.1 * rng.normal(
+        size=(T, p)
+    )
+    y = y.at[3, 0].set(jnp.nan)
+    R = jnp.broadcast_to(0.05 * jnp.eye(p), (T, p, p))
+
+    f_ref = kalman.kalman_filter(ssm.A, ssm.Q, H_tv, R, y, ssm.m0, ssm.P0)
+    s_ref = kalman.rts_smoother(ssm.A, ssm.Q, f_ref)
+
+    mesh = _mesh(8)
+    f_sh, s_sh = jax.jit(
+        lambda *a: sharded_filter_smoother(
+            *a, mesh=mesh, axis="t", chunk_size=chunk
+        )
+    )(ssm.A, ssm.Q, H_tv, R, y, ssm.m0, ssm.P0)
+    np.testing.assert_allclose(f_sh.lml, f_ref.lml, rtol=1e-9)
+    np.testing.assert_allclose(f_sh.ms, f_ref.ms, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(s_sh.ms, s_ref.ms, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(s_sh.Ps, s_ref.Ps, rtol=1e-4, atol=1e-8)
+
+
+def test_scattered_model_time_shards():
+    """End-to-end scattered-sensor model (config-4 shape, ScatteredSpatialHead
+    H [T, Ng, D]) runs mesh-sharded and matches the local lml."""
+    from physs_gp_tpu.zoo import scattered_st_gp
+    from physs_gp_tpu.utils.struct import replace
+
+    rng = np.random.default_rng(5)
+    n_rows = 220
+    t_rows = np.sort(rng.uniform(0, 5, n_rows))
+    s_rows = rng.uniform(-1, 1, (n_rows, 1))
+    y_rows = np.sin(2 * t_rows) * np.exp(-s_rows[:, 0] ** 2)
+    X = np.column_stack([t_rows, s_rows])
+    model, data = scattered_st_gp(X, y_rows, n_inducing=6)
+
+    lml_local = float(jax.jit(lambda m: m.log_marginal_likelihood())(model))
+    m_mesh = replace(model, mesh=_mesh(8), mesh_axis="t")
+    lml_mesh = float(jax.jit(lambda m: m.log_marginal_likelihood())(m_mesh))
+    np.testing.assert_allclose(lml_mesh, lml_local, rtol=1e-7)
+
+
+def test_pad_amount_non_divisible_chunk_edge():
+    """T=1001 over 8 shards with chunk=125: the padded per-shard segment is
+    126 (> chunk), so padding must go to the full shard*chunk grid instead of
+    tripping the chunked-scan divisibility assert (ADVICE round-2 #2)."""
+    from physs_gp_tpu.ops.runner import _pad_amount
+
+    pad = _pad_amount(1001, 125, n_shards=8)
+    T_padded = 1001 + pad
+    assert T_padded % 8 == 0
+    seg = T_padded // 8
+    assert seg <= 125 or seg % 125 == 0
+
+    # and the no-op case still avoids over-padding
+    pad2 = _pad_amount(1000, 125, n_shards=8)
+    assert (1000 + pad2) // 8 <= 125 or ((1000 + pad2) // 8) % 125 == 0
+    assert pad2 == 0

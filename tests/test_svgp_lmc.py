@@ -156,3 +156,97 @@ def test_gprn_fits_signdependent_mixing():
     pred = m.predict_f(jnp.asarray(X))
     r = float(np.sqrt(np.mean((np.asarray(pred.mean[:, 0]) - w * g) ** 2)))
     assert r < 0.15, r
+
+
+def test_lmc_ldl_identity_recovers_independent_latents():
+    """UnitLowerMixing with zero strict-lower entries gives W = I, so the
+    LMC gram equals the block-diagonal of the latent kernels (ref LMC_LDL,
+    `transforms/multi_output.py:357-383`)."""
+    from physs_gp_tpu.kernels.multi_output import UnitLowerMixing
+
+    rng = np.random.default_rng(0)
+    X = np.sort(rng.uniform(0, 3, 9))[:, None]
+    lats = [RBF(lengthscales=positive_param(0.5)),
+            Matern52(lengthscale=positive_param(1.2))]
+    m = LMC.init_ldl(lats, P=2)
+    W = np.asarray(m.W.value)
+    np.testing.assert_allclose(W, np.eye(2), atol=0)
+    K = np.asarray(m.K(X, X))  # [2N, 2N] output-minor ordering
+    K00 = np.asarray(lats[0].K(X, X))
+    K11 = np.asarray(lats[1].K(X, X))
+    np.testing.assert_allclose(K[0::2, 0::2], K00, rtol=1e-10)
+    np.testing.assert_allclose(K[1::2, 1::2], K11, rtol=1e-10)
+    np.testing.assert_allclose(K[0::2, 1::2], 0.0, atol=1e-12)
+
+    # nonzero strict-lower entry mixes latent 0 into output 1
+    from physs_gp_tpu.utils.struct import replace
+    from physs_gp_tpu.utils.params import param as _param
+
+    m2 = replace(m, W=replace(m.W, z=_param(jnp.asarray([0.5]))))
+    K2 = np.asarray(m2.K(X, X))
+    np.testing.assert_allclose(
+        K2[1::2, 1::2], K11 + 0.25 * K00, rtol=1e-9
+    )
+    np.testing.assert_allclose(K2[0::2, 1::2], 0.5 * K00, rtol=1e-9)
+
+
+def test_lmc_drd_scales_and_correlation():
+    """CorrelationMixing: z=0 -> W = diag(scales) (independent scaled
+    outputs); W W^T always has unit-correlation structure scaled by s_p s_q
+    (ref LMC_DRD, `transforms/multi_output.py:386-430`)."""
+    from physs_gp_tpu.kernels.multi_output import CorrelationMixing
+
+    lats = [RBF(lengthscales=positive_param(0.5)),
+            RBF(lengthscales=positive_param(0.5))]
+    m = LMC.init_drd(lats, scales=[1.5, 0.5])
+    W = np.asarray(m.W.value)
+    np.testing.assert_allclose(W, np.diag([1.5, 0.5]), atol=1e-12)
+    # correlation rows of W/scales are unit-norm for ANY z
+    from physs_gp_tpu.utils.struct import replace
+    from physs_gp_tpu.utils.params import param as _param
+
+    m2 = replace(m, W=replace(m.W, z=_param(jnp.asarray([0.8]))))
+    W2 = np.asarray(m2.W.value)
+    corr_rows = W2 / np.array([1.5, 0.5])[:, None]
+    np.testing.assert_allclose(
+        np.sum(corr_rows**2, axis=1), np.ones(2), rtol=1e-10
+    )
+    # mixing is PSD and differentiable
+    X = np.linspace(0, 2, 6)[:, None]
+    K = np.asarray(m2.K(X, X))
+    assert np.linalg.eigvalsh(K).min() > -1e-9
+    g = jax.grad(lambda mm: jnp.sum(mm.K(jnp.asarray(X), jnp.asarray(X))))(m2)
+    assert np.all(np.isfinite(np.asarray(g.W.z.raw)))
+
+
+@pytest.mark.parametrize("mixing", ["softplus", "ldl", "drd"])
+def test_gprn_mixing_variants_run_and_train(mixing):
+    """GPRN_Exp/LDL/DRD analogues: finite ELBO, finite grads, one Adam step
+    improves (ref `transforms/multi_output.py:56-203`)."""
+    from physs_gp_tpu.models import GPRN
+
+    rng = np.random.default_rng(11)
+    N = 24
+    X = np.sort(rng.uniform(-2, 2, N))[:, None]
+    g = np.sin(2 * X[:, 0])
+    Y = np.stack([g, 0.6 * g], -1) + 0.05 * rng.normal(size=(N, 2))
+    m = GPRN.init(
+        X, Y, X[::3],
+        kernel_w=RBF(lengthscales=positive_param(2.0)),
+        kernel_g=RBF(lengthscales=positive_param(0.8)),
+        n_latent=2, noise=0.01, n_mc=4, mixing=mixing,
+    )
+    e0 = float(m.elbo())
+    assert np.isfinite(e0)
+    grads = jax.grad(lambda mm: mm.get_objective())(m)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    m2, final_loss = _train(m, steps=60, lr=0.05)
+    assert final_loss < -e0  # objective (= -elbo) decreased from its start
+    pred = m2.predict_f(jnp.asarray(X))
+    assert np.all(np.isfinite(np.asarray(pred.mean)))
+    if mixing == "softplus":
+        # softplus mixing implies positive weights: check by construction
+        f = jnp.zeros((1, m2._n_w("softplus", 2, 2) + 2, 3))
+        y0 = m2._mix(f, 3)
+        assert np.all(np.isfinite(np.asarray(y0)))
