@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from experiments.common import Timer, dump_results, nlpd_gaussian, parse_args, rmse
+from experiments.common import Timer, dump_results, parse_args, rmse
 from physs_gp_tpu.kernels import Matern72
 from physs_gp_tpu.likelihoods.gaussian import Gaussian
 from physs_gp_tpu.models import StateSpaceGP
@@ -65,7 +65,13 @@ def main():
         "metrics": {
             "rmse": rmse(mean_f, truth),
             "rmse_unconstrained": rmse(np.asarray(p0.mean)[:, 0], truth),
-            "nlpd": nlpd_gaussian(mean_f, var_f, truth),
+            # model-API predictive density (per-head routing; probit head
+            # masked out by NaN) — ref `metrics/nlpd.py:44`
+            "nlpd": float(jax.jit(lambda mm, ts, ys: mm.nlpd(ts, ys))(
+                m, jnp.asarray(t_test),
+                jnp.stack([jnp.asarray(truth),
+                           jnp.full(truth.shape, jnp.nan)], axis=1),
+            )),
             "deriv_violation_rate": float(np.mean(dmean < -1e-3)),
             "final_elbo": final_elbo,
         },

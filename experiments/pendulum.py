@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.integrate import solve_ivp
 
-from experiments.common import Timer, dump_results, nlpd_gaussian, parse_args, rmse
+from experiments.common import Timer, dump_results, parse_args, rmse
 from physs_gp_tpu.kernels import Matern72
 from physs_gp_tpu.zoo import nonlinear_ode_cvi_gp
 
@@ -72,8 +72,17 @@ def main():
         "metrics": {
             "rmse_extrap_physics_on": rmse(p_on.mean[:, 0], truth),
             "rmse_extrap_physics_off": rmse(p_off.mean[:, 0], truth),
-            "nlpd_extrap_physics_on": nlpd_gaussian(
-                p_on.mean[:, 0], p_on.var[:, 0], truth
+            # model-API predictive density: Gaussian data head only (the
+            # derivative heads get NaN targets) — ref `metrics/nlpd.py:44`
+            "nlpd_extrap_physics_on": float(
+                jax.jit(lambda mm, ts, ys: mm.nlpd(ts, ys))(
+                    m_on, jnp.asarray(t_test),
+                    jnp.stack(
+                        [jnp.asarray(truth)]
+                        + [jnp.full(truth.shape, jnp.nan)] * 2,
+                        axis=1,
+                    ),
+                )
             ),
             "final_elbo": e_on[-1],
         },
