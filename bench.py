@@ -30,7 +30,11 @@ import time
 import numpy as np
 
 T5 = 100_000
-CHUNK = 5000
+# chunk sweep under BLOCKED inner scans (round 3, experiments/profile_c5e.py):
+# 10000 -> 144.1k, 20000 -> 176.8k steps/s (assoc-scan era: 5000 -> 91.5k,
+# 10000 -> 95.2k); bigger chunks amortise the outer scan now that the inner
+# combine levels stay on the Pallas fast path
+CHUNK = 20_000
 
 _CPU_SCRIPT = r"""
 import sys, time, json

@@ -6,25 +6,31 @@ enforced by collocation through the whole window (linear part as exact
 operator rows, u − u³ via the MC residual ELL); report extrapolation RMSE +
 NLPD vs a physics-off model (ref `experiments/ac/models/m_pigp.py:133-195`).
 
-Run: PYTHONPATH=/root/repo python experiments/ac.py [--quick]
+Runs on the DEFAULT backend — on the TPU this means fp32 with the QR
+square-root filters (`sqrt=True`, CLAUDE.md rule 3) and the documented fp32
+collocation-noise floor (1e-4; below ~1e-5 fp32 NaNs). `--cpu` forces the
+reference-faithful CPU fp64 covariance-form run (coll_noise 1e-5).
+
+Run: PYTHONPATH=/root/repo python experiments/ac.py [--quick] [--cpu]
 """
 import sys
 import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+USE_CPU = "--cpu" in sys.argv
+
 import jax
 
-# fp64 like the reference's AC experiment: the 1e-5 collocation noise +
-# MC block sampling exceed fp32 headroom (TPU fp32 NaNs; use the sqrt path
-# + coll_noise >= 1e-4 if porting this workload to TPU)
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if USE_CPU:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
 
-from experiments.common import Timer, dump_results, nlpd_gaussian, parse_args, rmse
+from experiments.common import Timer, dump_results, parse_args, rmse
 from physs_gp_tpu.kernels import Matern52
 from physs_gp_tpu.kernels.rbf import RBF
 from physs_gp_tpu.utils.params import positive_param
@@ -55,6 +61,11 @@ def main():
     T = 36 if args.quick else 56
     iters = 150 if args.quick else 600
     Ns, Nc = (8, 8) if args.quick else (10, 12)
+    if USE_CPU:
+        dtype, sqrt, coll_noise = jnp.float64, False, 1e-5
+    else:
+        # fp32 accelerator: QR square-root filters + the fp32 noise floor
+        dtype, sqrt, coll_noise = jnp.float32, True, 1e-4
 
     xs, U = simulate(eps, t_end)
     t = np.linspace(0, t_end, T)
@@ -66,21 +77,28 @@ def main():
     Y = F + 0.02 * rng.normal(size=F.shape)
     Y[t > cut, :] = np.nan  # physics must carry the later window
 
-    def train(m):
-        step = jax.jit(lambda mm: mm.step_with_elbo(0.5, hessian="gauss_newton"))
+    def train(m, seed=0):
+        step = jax.jit(
+            lambda mm, kk: mm.step_with_elbo(0.5, hessian="gauss_newton", key=kk)
+        )
+        key = jax.random.PRNGKey(seed)
         with Timer() as tm:
             for _ in range(iters):
-                m, e = step(m)
+                key, k = jax.random.split(key)
+                m, e = step(m, k)
             final = float(e)
         return m, final, tm.seconds
 
     def build():
         return allen_cahn_gp(
             t, Y, Z, coll, epsilon=eps,
-            k_time=Matern52(lengthscale=0.8, variance=1.0),
-            k_space=RBF(lengthscales=positive_param(jnp.array([0.6])),
-                        variance=positive_param(1.0)),
-            noise=0.02 ** 2, coll_noise=1e-5, n_mc=16 if args.quick else 32,
+            k_time=Matern52(lengthscale=jnp.asarray(0.8, dtype),
+                            variance=jnp.asarray(1.0, dtype)),
+            k_space=RBF(lengthscales=positive_param(jnp.asarray([0.6], dtype)),
+                        variance=positive_param(jnp.asarray(1.0, dtype))),
+            noise=0.02 ** 2, coll_noise=coll_noise,
+            n_mc=16 if args.quick else 32,
+            dtype=dtype, sqrt=sqrt,
         )
 
     m_on, elbo_on, t_on = train(build())
@@ -93,9 +111,21 @@ def main():
     m_off, _, _ = train(m_off)
 
     later = t > cut + 0.1
-    p_on, p_off = m_on.posterior(), m_off.posterior()
+    post = jax.jit(lambda mm: mm.posterior())
+    p_on, p_off = post(m_on), post(m_off)
+    # model-API predictive density on the extrapolation window: truth at the
+    # Ns grid heads, NaN at the collocation/operator heads
+    y_nlpd = np.full((int(later.sum()), Ns + 2 * Nc), np.nan, float)
+    y_nlpd[:, :Ns] = F[later]
+    nlpd = float(
+        jax.jit(lambda mm, ts, ys: mm.nlpd(ts, ys))(
+            m_on, jnp.asarray(t[later], dtype), jnp.asarray(y_nlpd, dtype)
+        )
+    )
     results = {
-        "config": {"quick": args.quick, "eps": eps, "T": T, "iters": iters},
+        "config": {"quick": args.quick, "eps": eps, "T": T, "iters": iters,
+                   "backend": "cpu-fp64" if USE_CPU else
+                   f"{jax.devices()[0].platform}-fp32-sqrt"},
         "metrics": {
             "rmse_extrap_physics_on": rmse(
                 np.asarray(p_on.mean)[later][:, :Ns], F[later]
@@ -103,16 +133,13 @@ def main():
             "rmse_extrap_physics_off": rmse(
                 np.asarray(p_off.mean)[later][:, :Ns], F[later]
             ),
-            "nlpd_extrap_physics_on": nlpd_gaussian(
-                np.asarray(p_on.mean)[later][:, :Ns],
-                np.asarray(p_on.var)[later][:, :Ns],
-                F[later],
-            ),
+            "nlpd_extrap_physics_on": nlpd,
             "final_elbo": elbo_on,
         },
         "meta": {"training_time": t_on},
     }
-    dump_results(args.out, "ac", results)
+    name = "ac" if USE_CPU else "ac_accel"
+    dump_results(args.out, name, results)
 
 
 if __name__ == "__main__":

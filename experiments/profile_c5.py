@@ -53,14 +53,17 @@ def make_probes():
     def p_filter(m, c):
         ssm, R, Y = inputs(_chain_model(m, c))
         f, _ = run_filter(ssm, R, Y, parallel=True, chunk_size=m.chunk_size)
-        return f.lml
+        # consume every output so XLA cannot dead-code-eliminate a stage
+        return f.lml + f.ms.sum() + f.Ps.sum()
 
     def p_smoother(m, c):
         ssm, R, Y = inputs(_chain_model(m, c))
         f, s = run_filter_smoother(
             ssm, R, Y, parallel=True, chunk_size=m.chunk_size
         )
-        return f.lml + s.ms[-1].sum()
+        # sum ALL smoother outputs: reducing only ms lets XLA DCE the whole
+        # covariance combine and mis-attributes it to the next stage
+        return f.lml + s.ms.sum() + s.Ps.sum()
 
     def p_project(m, c):
         ssm, R, Y = inputs(_chain_model(m, c))
@@ -69,7 +72,7 @@ def make_probes():
         )
         mm = project_mean(ssm.H, s.ms)
         S = project_cov(ssm.H, s.Ps)
-        return f.lml + mm.sum() + S.sum()
+        return f.lml + s.ms.sum() + s.Ps.sum() + mm.sum() + S.sum()
 
     def p_elbo(m, c):
         return _chain_model(m, c).elbo()

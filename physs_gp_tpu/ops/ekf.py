@@ -172,7 +172,8 @@ def iterated_parallel_ekf_smoother(
 
     def linearise_and_solve(m_ref):
         # dynamics linearised about m_ref[k-1] for each step k
-        m_prev_ref = jnp.concatenate([ssm.m0[None], m_ref[:-1]], axis=0)
+        # roll-not-slice (CLAUDE.md rule 9)
+        m_prev_ref = jnp.roll(m_ref, 1, axis=0).at[0].set(ssm.m0)
 
         def lin_dyn(mp, dtk):
             m_pred, A = _em_mean_jac(ssm.drift, mp, dtk, n_substeps)

@@ -73,15 +73,31 @@ def project_mean(H: jnp.ndarray, ms: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("tpd,td->tp", H, ms)
 
 
+def _Ps_Ht(H: jnp.ndarray, Ps: jnp.ndarray) -> jnp.ndarray:
+    """Y[t,i,q] = sum_j Ps[t,i,j] H[q,j] as ONE [T*d, d] @ [d, p] matmul.
+
+    The naive einsum compiles to XLA's t-batched tiny-dot path on TPU
+    (~0.43 TFLOP/s at d=32 — measured 189 ms for the config-5 projection
+    bucket); collapsing the batch into the rows keeps the MXU tiled."""
+    T, d, _ = Ps.shape
+    return (Ps.reshape(T * d, d) @ H.T).reshape(T, d, H.shape[0])
+
+
 def project_var(H: jnp.ndarray, Ps: jnp.ndarray) -> jnp.ndarray:
     """[T, p] head variances (diagonal) from state covariances Ps [T, d, d]."""
     if H.ndim == 2:
-        return jnp.einsum("pi,tij,pj->tp", H, Ps, H)
+        Y = _Ps_Ht(H, Ps)  # [T, d, p]
+        return jnp.sum(Y * H.T[None], axis=1)
     return jnp.einsum("tpi,tij,tpj->tp", H, Ps, H)
 
 
 def project_cov(H: jnp.ndarray, Ps: jnp.ndarray) -> jnp.ndarray:
     """[T, p, p] full head covariances from state covariances Ps [T, d, d]."""
     if H.ndim == 2:
-        return jnp.einsum("pi,tij,qj->tpq", H, Ps, H)
+        T, d, _ = Ps.shape
+        p = H.shape[0]
+        Y = _Ps_Ht(H, Ps)  # [T, d, p]
+        # out[t,p,q] = sum_i H[p,i] Y[t,i,q]: one [p, d] @ [d, T*p] matmul
+        out = (H @ jnp.moveaxis(Y, 0, 1).reshape(d, T * p)).reshape(p, T, p)
+        return jnp.moveaxis(out, 0, 1)
     return jnp.einsum("tpi,tij,tqj->tpq", H, Ps, H)

@@ -123,6 +123,117 @@ def _batched_inverse(M):
     return gen_solve(M, eye_b)
 
 
+
+def blocked_inclusive_scan(op, elems, ident):
+    """Inclusive scan keeping EVERY combine at a Pallas-friendly batch width.
+
+    The lane-batched Pallas linalg gates on batch >= 256
+    (`pallas.batched_linalg.use_pallas_linalg`), so `associative_scan`'s
+    levels below 256 elements fall back to XLA's slow small-batch dot path.
+    This scan never goes narrow:
+
+        [n] -> pad with identities -> [B=256 blocks, L] (time contiguous in
+        a block) -> sequential lax.scan over L (B-wide combines)
+        -> associative_scan over the B block totals (tiny, slow path ok)
+        -> one distribute combine at full width.
+
+    Work: ~2n + O(B log B) combines (vs ~1.5n) but ALL wide. `ident` is a
+    LEFT identity element of `op` (no batch dims); exactness: associativity
+    makes any bracketing equal in exact arithmetic, fp32 orderings differ at
+    roundoff like any other scan schedule.
+    """
+    import os
+
+    n_blocks = int(os.environ.get("PHYSS_SCAN_BLOCKS", "256"))
+    leaves = jax.tree_util.tree_leaves(elems)
+    n = leaves[0].shape[0]
+    dtype = leaves[0].dtype
+    L = -(-n // n_blocks)
+    pad = L * n_blocks - n
+
+    def bcast(x, batch):
+        return jnp.broadcast_to(x, batch + x.shape)
+
+    if pad:
+        elems = jax.tree_util.tree_map(
+            lambda x, i: jnp.concatenate([x, bcast(i, (pad,))]), elems, ident
+        )
+    blocked = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x.reshape((n_blocks, L) + x.shape[1:]), 1, 0),
+        elems,
+    )
+    ident_b = jax.tree_util.tree_map(lambda x: bcast(x, (n_blocks,)), ident)
+
+    def body(carry, x):
+        out = op(carry, x)
+        return out, out
+
+    _, intra = jax.lax.scan(body, ident_b, blocked)  # [L, B, ...]
+    block_tot = jax.tree_util.tree_map(lambda x: x[-1], intra)
+    tot_scan = jax.lax.associative_scan(op, block_tot)
+    prefix = jax.tree_util.tree_map(
+        lambda ts, idb: jnp.concatenate([idb[:1], ts[:-1]]), tot_scan, ident_b
+    )
+    flat_intra = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, 0, 1).reshape((n_blocks * L,) + x.shape[2:]),
+        intra,
+    )
+    flat_prefix = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, L, axis=0), prefix
+    )
+    out = op(flat_prefix, flat_intra)
+    return jax.tree_util.tree_map(lambda x: x[:n], out)
+
+
+def _inner_scan(op, elems, ident=None):
+    """Inclusive combine for ONE chunk of elements.
+
+    PHYSS_INNER_SCAN (read at trace time) selects the schedule:
+      blocked (TPU default)  blocked_inclusive_scan — every combine at a
+                       batch width on the Pallas fast path. Config-5 A/B
+                       (round 3): 703 ms vs 1131 ms step (1.61x), elbo
+                       matching to 3e-6 relative — associative_scan's
+                       sub-256-element levels fall back to XLA's slow
+                       small-batch dots, which dominated the scans.
+      assoc (CPU default)    jax.lax.associative_scan
+      prefix           Hillis-Steele `prefix_combine` — measured a NET LOSS
+                       on the config-5 step (1081 vs 1050 ms, round 3): each
+                       doubling level re-concatenates full element copies
+                       (O(T log T) HBM traffic); kept as an experiment knob
+    """
+    import os
+
+    from .pallas.batched_linalg import _on_tpu_backend
+
+    mode = os.environ.get("PHYSS_INNER_SCAN")
+    if mode is None:
+        mode = "blocked" if (_on_tpu_backend() and ident is not None) else "assoc"
+    if mode == "prefix" or os.environ.get("PHYSS_PREFIX_COMBINE", "0") == "1":
+        n = jax.tree_util.tree_leaves(elems)[0].shape[0]
+        return prefix_combine(op, elems, n)
+    if mode == "blocked" and ident is not None:
+        return blocked_inclusive_scan(op, elems, ident)
+    return jax.lax.associative_scan(op, elems)
+
+
+def _ident_filter_elem(d, dtype):
+    return _FilterElems(
+        A=jnp.eye(d, dtype=dtype),
+        b=jnp.zeros((d,), dtype),
+        C=jnp.zeros((d, d), dtype),
+        J=jnp.zeros((d, d), dtype),
+        eta=jnp.zeros((d,), dtype),
+    )
+
+
+def _ident_smoother_elem(d, dtype):
+    return _SmootherElems(
+        E=jnp.eye(d, dtype=dtype),
+        g=jnp.zeros((d,), dtype),
+        L=jnp.zeros((d, d), dtype),
+    )
+
+
 def _filtering_operator(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
     """Associative combine of filtering elements (Särkkä & G-F eq. 10).
 
@@ -170,8 +281,11 @@ def _filtering_operator_xla(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
 def _per_step_lml(A, Q, H, R, y, mask, ms, m0, P0, Ps):
     """Post-hoc vmapped per-step lml from one-step-ahead predictive moments
     (ref: `parallel_kalman_filter.py:303-334`)."""
-    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
-    P_prev = jnp.concatenate([P0[None], Ps[:-1]], axis=0)
+    # roll-not-slice: concat([x0[None], xs[:-1]]) is an offset-by-one slice
+    # feeding batched matmuls — the 16x XLA-TPU fusion pathology (CLAUDE.md
+    # rule 9); jnp.roll keeps full-length aligned layouts
+    m_prev = jnp.roll(ms, 1, axis=0).at[0].set(m0)
+    P_prev = jnp.roll(Ps, 1, axis=0).at[0].set(P0)
     m_pred = jnp.einsum("tij,tj->ti", A, m_prev)
     P_pred = bmm(bmm(A, P_prev), A, tb=True) + Q
     Hm = mask[..., :, None] * H
@@ -220,7 +334,10 @@ def parallel_kalman_filter(
             elems = _build_filter_elements(
                 A_c, Q_c, H_c, R_c, y_c, mask_c, m_prev, P_prev
             )
-            inner = jax.lax.associative_scan(_filtering_operator, elems)
+            inner = _inner_scan(
+                _filtering_operator, elems,
+                ident=_ident_filter_elem(elems.A.shape[-1], elems.A.dtype),
+            )
             ms_c, Ps_c = inner.b, symmetrize(inner.C)
             return (ms_c[-1], Ps_c[-1]), (ms_c, Ps_c)
 
@@ -316,7 +433,12 @@ def parallel_rts_smoother(
         )
 
         def chunk_step(carry, chunk_elems):
-            inner = jax.lax.associative_scan(_smoothing_operator, chunk_elems)
+            inner = _inner_scan(
+                _smoothing_operator, chunk_elems,
+                ident=_ident_smoother_elem(
+                    chunk_elems.E.shape[-1], chunk_elems.E.dtype
+                ),
+            )
             combined = _smoothing_operator(
                 jax.tree_util.tree_map(lambda x: x[None], carry), inner
             )

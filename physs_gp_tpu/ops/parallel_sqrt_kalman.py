@@ -46,6 +46,22 @@ class _SqrtFilterElems(NamedTuple):
 
 
 def _solve_tri(L, B, lower=True):
+    """Batched triangular solve.
+
+    XLA:TPU's batched TriangularSolve is catastrophically slow at tiny d —
+    measured 3.5 ms PER MATRIX at [5000, 32, 32] vs 775 ns through the
+    Pallas lane-batched Gauss-Jordan (4500x; `experiments/bench_trisolve.py`,
+    round 3) — it was the entire sqrt-path tax. GJ on a triangular system
+    pivots on the diagonal (exact zeros above/below), matching
+    solve_triangular to 3.4e-7 relative on the combine's chol(I + G G^T)
+    factors. Routed through `gen_solve` (shape-gated Pallas on TPU, LU
+    fallback elsewhere, differentiable custom VJP).
+    """
+    from .matrix import gen_solve
+    from .pallas.batched_linalg import use_pallas_linalg
+
+    if L.ndim == 3 and B.ndim == 3 and use_pallas_linalg(L.shape):
+        return gen_solve(L, B)
     return jax.scipy.linalg.solve_triangular(L, B, lower=lower)
 
 
@@ -192,8 +208,9 @@ def _per_step_lml_sqrt(A, Q_sqrt, H, R_sqrt, y, mask, ms, m0, U0, Us):
     T, d = ms.shape
     p = y.shape[1]
     dtype = Us.dtype
-    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
-    U_prev = jnp.concatenate([U0[None], Us[:-1]], axis=0)
+    # roll-not-slice (CLAUDE.md rule 9): aligned full-length layouts
+    m_prev = jnp.roll(ms, 1, axis=0).at[0].set(m0)
+    U_prev = jnp.roll(Us, 1, axis=0).at[0].set(U0)
     m_pred = jnp.einsum("tij,tj->ti", A, m_prev)
     Up = tria(
         jnp.concatenate(
@@ -250,7 +267,17 @@ def parallel_sqrt_kalman_filter(
             elems = _build_sqrt_elements(
                 A_c, Qs_c, H_c, Rs_c, y_c, mask_c, m_prev, U_prev
             )
-            inner = jax.lax.associative_scan(_sqrt_filtering_operator, elems)
+            from .parallel_kalman import _inner_scan
+
+            dd, dt = elems.A.shape[-1], elems.A.dtype
+            inner = _inner_scan(
+                _sqrt_filtering_operator, elems,
+                ident=_SqrtFilterElems(
+                    A=jnp.eye(dd, dtype=dt), b=jnp.zeros((dd,), dt),
+                    U=jnp.zeros((dd, dd), dt), eta=jnp.zeros((dd,), dt),
+                    Z=jnp.zeros((dd, dd), dt),
+                ),
+            )
             return (inner.b[-1], inner.U[-1]), (inner.b, inner.U)
 
         _, (ms, Us) = jax.lax.scan(chunk_step, (m0, P0_sqrt), chunked)
@@ -343,8 +370,15 @@ def parallel_sqrt_rts_smoother(
         )
 
         def chunk_step(carry, chunk_elems):
-            inner = jax.lax.associative_scan(
-                _sqrt_smoothing_operator, chunk_elems
+            from .parallel_kalman import _inner_scan
+
+            dd, dt = chunk_elems.E.shape[-1], chunk_elems.E.dtype
+            inner = _inner_scan(
+                _sqrt_smoothing_operator, chunk_elems,
+                ident=_SqrtSmootherElems(
+                    E=jnp.eye(dd, dtype=dt), g=jnp.zeros((dd,), dt),
+                    D=jnp.zeros((dd, dd), dt),
+                ),
             )
             combined = _sqrt_smoothing_operator(
                 jax.tree_util.tree_map(lambda x: x[None], carry), inner

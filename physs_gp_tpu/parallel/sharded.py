@@ -103,8 +103,10 @@ def _chunked_inclusive_scan(op, elems, chunk_size, ident):
         lambda x: x.reshape((n, chunk_size) + x.shape[1:]), elems
     )
 
+    from ..ops.parallel_kalman import _inner_scan
+
     def step(carry, chunk):
-        inner = jax.lax.associative_scan(op, chunk)
+        inner = _inner_scan(op, chunk, ident=ident)
         combined = op(jax.tree_util.tree_map(lambda x: x[None], carry), inner)
         last = jax.tree_util.tree_map(lambda x: x[-1], combined)
         return last, combined

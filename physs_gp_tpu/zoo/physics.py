@@ -182,6 +182,7 @@ def allen_cahn_gp(
     n_mc: int = 32,
     dtype=jnp.float64,
     parallel: bool = False,
+    sqrt: bool = False,
     chunk_size=None,
     site_var: float = 1.0,
 ) -> CVIGP:
@@ -252,6 +253,7 @@ def allen_cahn_gp(
         likelihood=lik,
         observation=obs,
         parallel=parallel,
+        sqrt=sqrt,
         chunk_size=chunk_size,
         site_var=site_var,
     )

@@ -1,6 +1,7 @@
 """Smoke tests for the driver entry points on the 8-virtual-device CPU mesh."""
 import jax
 import numpy as np
+import pytest
 
 
 def test_entry_compiles_and_runs():
@@ -14,6 +15,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(float(val))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import sys, pathlib
 

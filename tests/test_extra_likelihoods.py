@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from physs_gp_tpu.kernels import Matern32
 from physs_gp_tpu.likelihoods import Gaussian, LossLikelihood, Power
@@ -10,6 +11,7 @@ from physs_gp_tpu.models import CVIGP, BatchGP
 from physs_gp_tpu.utils.params import positive_param
 
 
+@pytest.mark.slow
 def test_power_likelihood_cvi():
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 5, 50))
@@ -22,6 +24,7 @@ def test_power_likelihood_cvi():
     assert float(m.elbo()) > e0
 
 
+@pytest.mark.slow
 def test_loss_likelihood_robust_regression():
     """L1 pseudo-likelihood: posterior tracks the data, robust to outliers."""
     rng = np.random.default_rng(1)

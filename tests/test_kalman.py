@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 
 from physs_gp_tpu.kernels import Matern12, Matern32, Matern52, Matern72
+from physs_gp_tpu.ops import kalman, parallel_kalman
+from physs_gp_tpu.ops.lgssm import build_lgssm
 from physs_gp_tpu.models import StateSpaceGP
 from physs_gp_tpu.likelihoods import Gaussian
 from physs_gp_tpu.utils.params import positive_param
@@ -145,6 +147,7 @@ def test_chunked_parallel_equals_unchunked():
 
 
 @pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.slow
 def test_gradients_match_dense(parallel):
     t, y = make_data(T=32)
     noise = 0.1
@@ -181,3 +184,46 @@ def test_jit_and_grad_through_model_pytree():
     g = grads.kernel.lengthscales.raw
     assert np.isfinite(g)
     assert np.isfinite(val)
+
+
+def test_blocked_inner_scan_matches_assoc(monkeypatch):
+    """blocked_inclusive_scan (the TPU-default chunk schedule; every combine
+    at batch >= 256 on the Pallas path) == associative_scan == sequential,
+    exercised on CPU via the PHYSS_INNER_SCAN knob (read at trace time)."""
+    rng = np.random.default_rng(11)
+    T = 96
+    t = np.sort(rng.uniform(0, 10, T))
+    y = np.sin(2 * t) + 0.1 * rng.normal(size=T)
+    y[7] = np.nan
+    y = jnp.asarray(y)[:, None]
+    kern = Matern52(lengthscale=0.7, variance=1.2)
+    ssm = build_lgssm(kern, jnp.asarray(t))
+    R = jnp.broadcast_to(0.05 * jnp.eye(1), (T, 1, 1))
+    f_ref = kalman.kalman_filter(ssm.A, ssm.Q, ssm.H, R, y, ssm.m0, ssm.P0)
+    s_ref = kalman.rts_smoother(ssm.A, ssm.Q, f_ref)
+
+    monkeypatch.setenv("PHYSS_INNER_SCAN", "blocked")
+    f = parallel_kalman.parallel_kalman_filter(
+        ssm.A, ssm.Q, ssm.H, R, y, ssm.m0, ssm.P0, chunk_size=16
+    )
+    s = parallel_kalman.parallel_rts_smoother(
+        ssm.A, ssm.Q, f, chunk_size=16
+    )
+    np.testing.assert_allclose(f.lml, f_ref.lml, rtol=1e-9)
+    np.testing.assert_allclose(f.ms, f_ref.ms, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(s.ms, s_ref.ms, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(s.Ps, s_ref.Ps, rtol=1e-5, atol=1e-9)
+
+    # gradient path through the blocked schedule stays correct
+    def lml_fn(log_ls):
+        k = Matern52(lengthscale=jnp.exp(log_ls), variance=1.2)
+        sm = build_lgssm(k, jnp.asarray(t))
+        ff = parallel_kalman.parallel_kalman_filter(
+            sm.A, sm.Q, sm.H, R, y, sm.m0, sm.P0, chunk_size=16
+        )
+        return ff.lml
+
+    g_blocked = jax.grad(lml_fn)(jnp.asarray(np.log(0.7)))
+    monkeypatch.setenv("PHYSS_INNER_SCAN", "assoc")
+    g_assoc = jax.grad(lml_fn)(jnp.asarray(np.log(0.7)))
+    np.testing.assert_allclose(g_blocked, g_assoc, rtol=1e-8)

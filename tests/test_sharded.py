@@ -50,6 +50,7 @@ def test_sharded_equals_single_device(n_dev, chunk):
     np.testing.assert_allclose(s_sh.Ps, s_ref.Ps, rtol=1e-5, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_gradients_match():
     """Gradient of the sharded lml wrt hyperparameters == unsharded."""
     rng = np.random.default_rng(1)

@@ -28,6 +28,7 @@ def make_model(T=200, seed=0, noise=0.05, **kw):
 
 
 @pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.slow
 def test_sqrt_equals_covariance_form(parallel):
     m_cov = make_model(parallel=parallel, sqrt=False)
     m_sqrt = make_model(parallel=parallel, sqrt=True)
@@ -40,6 +41,7 @@ def test_sqrt_equals_covariance_form(parallel):
     np.testing.assert_allclose(p_sqrt.var, p_cov.var, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sqrt_chunked_equals_unchunked():
     m1 = make_model(T=128, parallel=True, sqrt=True)
     m2 = make_model(T=128, parallel=True, sqrt=True, chunk_size=32)
@@ -52,6 +54,7 @@ def test_sqrt_chunked_equals_unchunked():
 
 
 @pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.slow
 def test_sqrt_gradients_match_covariance(parallel):
     rng = np.random.default_rng(1)
     T = 64
@@ -71,6 +74,7 @@ def test_sqrt_gradients_match_covariance(parallel):
     np.testing.assert_allclose(g_sqrt, g_cov, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sqrt_posterior_variances_never_negative_fp32_stress():
     """fp32 + tight observation noise: the sqrt path must keep variances
     PSD by construction (this is its reason to exist)."""

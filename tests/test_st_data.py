@@ -92,6 +92,7 @@ def test_spatiotemporal_data_roundtrip():
     assert np.isnan(d.Y).sum() == d.Nt * d.Ns - X.shape[0]
 
 
+@pytest.mark.slow
 def test_scattered_to_grid_model_matches_dense_gp():
     """Scattered rows → grid → ST filter == dense GP on those rows."""
     rng = np.random.default_rng(2)
@@ -132,6 +133,7 @@ def test_temporally_grouped_shapes_and_roundtrip():
     assert np.isfinite(g.Y_st).sum() == X.shape[0]
 
 
+@pytest.mark.slow
 def test_grouped_scattered_model_matches_dense_gp():
     """TemporallyGroupedData + time-varying H == dense GP when Z spans all
     sites (spatial conditional is exact interpolation, correction == 0)."""
@@ -155,6 +157,7 @@ def test_grouped_scattered_model_matches_dense_gp():
     np.testing.assert_allclose(var_rows, dense["var"], rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sparse_sites_recover_dense_posterior():
     """Ms ≪ Nd inducing sites: sparse posterior ≈ dense GP at data rows."""
     rng = np.random.default_rng(5)
@@ -190,6 +193,7 @@ def test_sparse_sites_recover_dense_posterior():
     assert np.mean(np.asarray(post.var).reshape(-1) >= dense_p["var"] - 1e-6) > 0.95
 
 
+@pytest.mark.slow
 def test_sparse_z_is_trainable_param():
     rng = np.random.default_rng(6)
     t = np.sort(rng.uniform(0, 2, 8))
@@ -210,6 +214,7 @@ def test_spatial_minibatch_indices():
     assert idx.shape == (8,) and idx.min() >= 0 and idx.max() < 50
 
 
+@pytest.mark.slow
 def test_scattered_st_predict_matches_dense_gp():
     """Prediction at arbitrary NEW scattered rows == dense GP conditional
     (Z spans all sites incl. query locations -> conditional exact)."""

@@ -37,6 +37,7 @@ def _train(model, steps=400, lr=0.02, mask_data=True):
     return model, float(loss)
 
 
+@pytest.mark.slow
 def test_svgp_full_rank_recovers_exact_gp():
     rng = np.random.default_rng(0)
     N = 40
@@ -66,6 +67,7 @@ def test_svgp_full_rank_recovers_exact_gp():
     np.testing.assert_allclose(pf.var, pe.var, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_svgp_poisson_matches_cvi():
     rng = np.random.default_rng(1)
     T = 60
@@ -113,6 +115,7 @@ def test_lmc_psd_and_fits_correlated_outputs():
     assert abs(ratio + 0.7) < 0.15, ratio
 
 
+@pytest.mark.slow
 def test_svgp_natural_gradient_one_step_conjugate():
     """With a Gaussian likelihood, one lr=1 natural-gradient step jumps to
     the exact optimum (classic conjugate exp-family result)."""
@@ -136,6 +139,7 @@ def test_svgp_natural_gradient_one_step_conjugate():
     np.testing.assert_allclose(pf.var, pe.var, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gprn_fits_signdependent_mixing():
     """GPRN: output = w(x) * g(x) with a sign-flipping weight — LMC (constant
     mixing) cannot represent this; GPRN must."""
@@ -190,6 +194,7 @@ def test_lmc_ldl_identity_recovers_independent_latents():
     np.testing.assert_allclose(K2[0::2, 1::2], 0.5 * K00, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_lmc_drd_scales_and_correlation():
     """CorrelationMixing: z=0 -> W = diag(scales) (independent scaled
     outputs); W W^T always has unit-correlation structure scaled by s_p s_q
@@ -220,6 +225,7 @@ def test_lmc_drd_scales_and_correlation():
 
 
 @pytest.mark.parametrize("mixing", ["softplus", "ldl", "drd"])
+@pytest.mark.slow
 def test_gprn_mixing_variants_run_and_train(mixing):
     """GPRN_Exp/LDL/DRD analogues: finite ELBO, finite grads, one Adam step
     improves (ref `transforms/multi_output.py:56-203`)."""

@@ -27,6 +27,7 @@ def _model(seed=0, T=80):
     )
 
 
+@pytest.mark.slow
 def test_lbfgs_trainer_converges():
     m = _model()
     tr = LBFGSTrainer(m)
@@ -36,6 +37,7 @@ def test_lbfgs_trainer_converges():
     assert float(m2.likelihood.variance.value) < 0.1
 
 
+@pytest.mark.slow
 def test_vb_ng_lbfgs_on_poisson():
     rng = np.random.default_rng(1)
     T = 60
@@ -67,6 +69,7 @@ def test_metrics():
     np.testing.assert_allclose(hi - mean, 1.959964 * jnp.sqrt(var), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip():
     m = _model()
     tr = LBFGSTrainer(m)
