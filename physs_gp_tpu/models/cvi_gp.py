@@ -23,7 +23,12 @@ from ..approx.cvi import Sites, init_sites, natgrad_update
 from ..likelihoods.gaussian import BlockDiagonalGaussian
 from ..likelihoods.nongaussian import expected_log_lik
 from ..ops.gaussian import mask_covariance, masked_mvn_logpdf
-from ..ops.lgssm import build_lgssm, project_cov, project_mean
+from ..ops.lgssm import (
+    build_lgssm,
+    project_cov,
+    project_cov_factor,
+    project_mean,
+)
 from ..ops.runner import run_filter_smoother
 from ..ops.matrix import (
     cholesky_solve,
@@ -99,7 +104,13 @@ class CVIGP:
             mesh_axis=self.mesh_axis,
         )
         m = project_mean(ssm.H, s.ms)  # [T, p]
-        S = project_cov(ssm.H, s.Ps)  # [T, p, p]
+        # sqrt runners ship the smoothed covariance factor: (H L)(H L)^T is
+        # PSD by construction in fp32, where H P H^T goes indefinite at the
+        # state-error scale once site variances tighten (TPU MC-ELL NaNs)
+        if s.Ls is not None:
+            S = project_cov_factor(ssm.H, s.Ls)  # [T, p, p]
+        else:
+            S = project_cov(ssm.H, s.Ps)  # [T, p, p]
         return f.lml, m, S
 
     # ---- ELL terms ----
@@ -267,23 +278,29 @@ class CVIGP:
         its column; NaN y elements (e.g. constraint-only heads) drop out."""
         from ..ops.quadrature import expect_gh
 
+        from ..ops.quadrature import expect_gh_log
+
         f = self.predict_f(t_new)
         y_new = jnp.reshape(y_new, f.mean.shape)  # [T, p], strict
-        if hasattr(self.likelihood, "predictive_density"):
+        if hasattr(self.likelihood, "predictive_log_density"):
+            # log-domain quadrature: exp(log_prob) underflows fp32 at
+            # logpdf < -88, which turned TPU NLPDs into +inf
+            val = -self.likelihood.predictive_log_density(
+                y_new, f.mean, f.var, gh_points
+            )
+        elif hasattr(self.likelihood, "predictive_density"):
             pd = self.likelihood.predictive_density(
                 y_new, f.mean, f.var, gh_points
             )
+            val = -jnp.log(jnp.maximum(pd, jnp.finfo(pd.dtype).tiny))
         else:
-            pd = expect_gh(
-                lambda ff: jnp.exp(
-                    self.likelihood.log_prob(
-                        jnp.nan_to_num(y_new)[..., None], ff
-                    )
+            val = -expect_gh_log(
+                lambda ff: self.likelihood.log_prob(
+                    jnp.nan_to_num(y_new)[..., None], ff
                 ),
                 f.mean,
                 f.var,
                 gh_points,
             )
-        val = -jnp.log(jnp.maximum(pd, 1e-300))
         ok = jnp.isfinite(y_new)
         return jnp.sum(jnp.where(ok, val, 0.0)) / jnp.sum(ok)

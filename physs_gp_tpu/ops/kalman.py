@@ -51,6 +51,10 @@ class SmootherResult(NamedTuple):
     ms: jnp.ndarray  # [T, d]
     Ps: jnp.ndarray  # [T, d, d]
     Gs: jnp.ndarray  # [T, d, d] smoother gains (G_T = 0); for cross-covs
+    # [T, d, d] covariance FACTORS (Ls Ls^T = Ps), set by the sqrt runners:
+    # head projections use (H L)(H L)^T, PSD by construction in fp32 where
+    # H P H^T is indefinite at the state-error scale (TPU MC-ELL NaNs)
+    Ls: jnp.ndarray = None
 
 
 def observation_mask(y: jnp.ndarray, dtype=None) -> jnp.ndarray:

@@ -19,6 +19,7 @@ __all__ = [
     "project_mean",
     "project_var",
     "project_cov",
+    "project_cov_factor",
 ]
 
 
@@ -89,6 +90,28 @@ def project_var(H: jnp.ndarray, Ps: jnp.ndarray) -> jnp.ndarray:
         Y = _Ps_Ht(H, Ps)  # [T, d, p]
         return jnp.sum(Y * H.T[None], axis=1)
     return jnp.einsum("tpi,tij,tpj->tp", H, Ps, H)
+
+
+def project_cov_factor(H: jnp.ndarray, Ls: jnp.ndarray) -> jnp.ndarray:
+    """[T, p, p] head covariances (H L)(H L)^T from smoothed covariance
+    FACTORS Ls [T, d, d].
+
+    PSD by construction: the fp32 rounding error of M M^T is relative to the
+    PROJECTED scale, while H P H^T carries absolute error at the state scale
+    — once posterior head variances shrink below ~1e-4 (tight collocation
+    sites) that error exceeds the matrix itself and no jitter policy can
+    rescue the Cholesky (observed on TPU: S indefinite by 6% of its own
+    norm). The sqrt filters exist exactly for this regime (CLAUDE.md rule 3).
+    """
+    if H.ndim == 2:
+        T, d, _ = Ls.shape
+        p = H.shape[0]
+        # M[t] = H @ Ls[t] as one [p, d] @ [d, T*d] matmul (MXU-tiled)
+        M = (H @ jnp.moveaxis(Ls, 0, 1).reshape(d, T * d)).reshape(p, T, d)
+        M = jnp.moveaxis(M, 0, 1)  # [T, p, d]
+    else:
+        M = jnp.einsum("tpi,tij->tpj", H, Ls)
+    return jnp.einsum("tij,tkj->tik", M, M)
 
 
 def project_cov(H: jnp.ndarray, Ps: jnp.ndarray) -> jnp.ndarray:

@@ -18,6 +18,7 @@ __all__ = [
     "highest_precision",
     "add_jitter",
     "symmetrize",
+    "robust_cholesky",
     "safe_cholesky",
     "safe_cholesky_rel",
     "cholesky_solve",
@@ -133,6 +134,45 @@ def safe_cholesky_rel(A: jnp.ndarray, rel: float | None = None) -> jnp.ndarray:
     return _cholesky_any(
         symmetrize(A) + eps[..., None, None] * jnp.eye(n, dtype=A.dtype)
     )
+
+
+def robust_cholesky(A: jnp.ndarray, rel: float | None = None,
+                    escalations=(1e2, 1e3, 1e4)) -> jnp.ndarray:
+    """Cholesky with per-batch-element ESCALATING relative jitter.
+
+    For projected block covariances S = H P H^T whose heads are nearly
+    linearly dependent (collocation heads interpolated from grid heads),
+    fp32 smoother error makes S indefinite by ~1e-4 relative — beyond any
+    fixed jitter that wouldn't distort well-conditioned blocks. Probe
+    factorisations at rel * {1, *escalations} under stop_gradient find, per
+    batch element, the smallest level that is finite; ONE real Cholesky then
+    runs at that level. Gradients flow through a single PD factorisation —
+    no NaN branches to double-where away (CLAUDE.md rule 4).
+
+    Used by the MC sampling paths (`NonlinearResidual._samples`,
+    `DynamicCovarianceGaussian`) — the reference sidesteps this class of
+    failure by running fp64 (`computation/integrals/samples.py` chols the
+    block covariance directly).
+    """
+    if rel is None:
+        rel = default_jitter(A.dtype)
+    A = symmetrize(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    scale = jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), -1)
+    scale = scale[..., None, None] + 1e-30
+
+    A_probe = jax.lax.stop_gradient(A)
+    levels = (1.0,) + tuple(escalations)
+    # smallest level whose probe factorisation is finite, per batch element
+    # (scan high->low: a finite smaller level overwrites); elements bad at
+    # every probed level fall through to the highest level unprobed.
+    mult = jnp.full_like(scale, levels[-1])
+    for lv in reversed(levels[:-1]):
+        L = _cholesky_any(A_probe + (rel * lv) * scale * eye)
+        good = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+        mult = jnp.where(good, lv, mult)
+    return _cholesky_any(A + (rel * mult) * scale * eye)
 
 
 def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gauss_hermite_points", "expect_gh", "expect_mc"]
+__all__ = ["gauss_hermite_points", "expect_gh", "expect_gh_log", "expect_mc"]
 
 
 @lru_cache(maxsize=None)
@@ -33,6 +33,22 @@ def expect_gh(g, m: jnp.ndarray, v: jnp.ndarray, n: int = 20) -> jnp.ndarray:
     w = jnp.asarray(w, m.dtype)
     f = m[..., None] + jnp.sqrt(jnp.maximum(v, 0.0))[..., None] * x
     return jnp.sum(g(f) * w, axis=-1)
+
+
+def expect_gh_log(log_g, m: jnp.ndarray, v: jnp.ndarray,
+                  n: int = 20) -> jnp.ndarray:
+    """log E_{f ~ N(m, v)}[exp(log_g(f))] via logsumexp — fp32-safe.
+
+    Predictive densities ∫ p(y|f) q(f) df underflow fp32 (exp(-90) = 0)
+    long before the LOG density loses meaning; quadrature in the log domain
+    keeps NLPD finite on TPU (the reference runs fp64 and never hits this,
+    `metrics/nlpd.py:44`).
+    """
+    x, w = gauss_hermite_points(n)
+    x = jnp.asarray(x, m.dtype)
+    logw = jnp.asarray(np.log(w), m.dtype)
+    f = m[..., None] + jnp.sqrt(jnp.maximum(v, 0.0))[..., None] * x
+    return jax.scipy.special.logsumexp(log_g(f) + logw, axis=-1)
 
 
 def expect_mc(g, m, v, key, n: int = 64) -> jnp.ndarray:

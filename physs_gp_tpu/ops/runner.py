@@ -66,7 +66,7 @@ def _square(F: FilterResult) -> FilterResult:
 
 def _square_s(S: SmootherResult) -> SmootherResult:
     Ps = jnp.einsum("tij,tkj->tik", S.Ps, S.Ps)
-    return S._replace(Ps=Ps)
+    return S._replace(Ps=Ps, Ls=S.Ps)  # keep the factor for PSD projections
 
 
 def run_filter(ssm, R, Y, *, parallel=False, sqrt=False, chunk_size=None):

@@ -393,7 +393,7 @@ def sharded_sqrt_filter_smoother(
         jax.shard_map,
         mesh=mesh,
         in_specs=(spec, spec, spec_H, spec, spec, rep, rep),
-        out_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec, spec, spec),
     )
     def run(A_l, Qs_l, H_, Rs_l, y_mask_l, m0_, U0_):
         y_l, mask_l = y_mask_l[..., 0], y_mask_l[..., 1]
@@ -468,13 +468,16 @@ def sharded_sqrt_filter_smoother(
         scombined = _sqrt_smoothing_operator(
             jax.tree_util.tree_map(lambda x: x[None], suffix), slocal
         )
-        # square the factors at the boundary (outputs are covariances)
+        # square the factors at the boundary (outputs are covariances); the
+        # smoothed factor itself also ships out for PSD head projections
         Ps_l = jnp.einsum("tij,tkj->tik", Us_l, Us_l)
         sPs_l = jnp.einsum("tij,tkj->tik", scombined.D, scombined.D)
-        return ms_l, Ps_l, lmls_l, scombined.g, sPs_l, E
+        return ms_l, Ps_l, lmls_l, scombined.g, sPs_l, scombined.D, E
 
     y_mask = jnp.stack([jnp.nan_to_num(y) * mask, mask], axis=-1)
-    ms, Ps, lmls, sms, sPs, Gs = run(A, Q_sqrt, H, R_sqrt, y_mask, m0, P0_sqrt)
+    ms, Ps, lmls, sms, sPs, sLs, Gs = run(
+        A, Q_sqrt, H, R_sqrt, y_mask, m0, P0_sqrt
+    )
     filt = FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls)
-    smooth = SmootherResult(ms=sms, Ps=sPs, Gs=Gs)
+    smooth = SmootherResult(ms=sms, Ps=sPs, Gs=Gs, Ls=sLs)
     return filt, smooth

@@ -60,6 +60,24 @@ def test_cholesky_solve():
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-9)
 
 
+def test_robust_cholesky_escalates_per_element():
+    """Indefinite-by-3e-4 block gets escalated jitter; PSD block stays tight;
+    gradients stay finite (the TPU fp32 H P H^T failure mode, replicated at
+    fp64 scale via an explicit rel)."""
+    rng = np.random.default_rng(0)
+    Q, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+    good = Q @ np.diag([1.0, 0.5, 0.1, 0.01]) @ Q.T
+    bad = Q @ np.diag([1.0, 0.5, 0.1, -3e-4]) @ Q.T
+    S = jnp.asarray(np.stack([good, bad]))
+    L = M.robust_cholesky(S, rel=1e-6)
+    assert bool(jnp.all(jnp.isfinite(L)))
+    rec = np.asarray(L @ jnp.swapaxes(L, -1, -2))
+    np.testing.assert_allclose(rec[0], good, atol=1e-5)  # base jitter only
+    np.testing.assert_allclose(rec[1], bad, atol=2e-2)  # escalated, bounded
+    g = jax.grad(lambda A: jnp.sum(M.robust_cholesky(A, rel=1e-6)))(S)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_block_diag_roundtrip():
     blocks = jnp.arange(12.0).reshape(3, 2, 2)
     big = M.to_block_diag_batched(blocks)
