@@ -88,13 +88,20 @@ def symmetrize(A: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (A + jnp.swapaxes(A, -1, -2))
 
 
-def _cholesky_any(A: jnp.ndarray) -> jnp.ndarray:
+def _cholesky_any(A: jnp.ndarray, assume_psd: bool = False) -> jnp.ndarray:
     """Batched Cholesky with closed-form n <= 2 fast paths.
 
     XLA's batched Cholesky on [B, 1, 1] / [B, 2, 2] runs its generic blocked
     loop — measured SECONDS at B ~ 1e5 where the closed form is a handful of
     fused elementwise ops. Scalar filters (p = 1 sites) and Matern32 states
     (d = 2) hit these shapes on every hot path.
+
+    `assume_psd=True` additionally routes worthwhile [B, d, d] batches to
+    the lane-batched Pallas Cholesky (~4.1 us/matrix XLA vs sub-us Pallas at
+    d = 32; this was most of the sqrt runner's element-build time via
+    `safe_cholesky_rel(Q)`). Opt-in only: the Pallas kernel pivot-floors
+    instead of NaN-ing, so callers that use NaN as the indefiniteness
+    signal (`robust_cholesky` escalation) must stay on the XLA path.
     """
     n = A.shape[-1]
     if n == 1:
@@ -110,12 +117,39 @@ def _cholesky_any(A: jnp.ndarray) -> jnp.ndarray:
         return jnp.stack(
             [jnp.stack([l11, z], -1), jnp.stack([l21, l22], -1)], -2
         )
+    if assume_psd:
+        from .pallas.batched_chol import use_pallas_chol
+
+        if use_pallas_chol(A.shape):
+            return _pallas_chol_core(A)
     return jnp.linalg.cholesky(A)
+
+
+@jax.custom_vjp
+def _pallas_chol_core(A):
+    from .pallas.batched_chol import batch_cholesky
+
+    return batch_cholesky(A)
+
+
+def _pallas_chol_fwd(A):
+    return _pallas_chol_core(A), A
+
+
+def _pallas_chol_bwd(A, ct):
+    # recompute through XLA's differentiable Cholesky (same factor for PD
+    # inputs; the Pallas forward only differs on floored pivots, where the
+    # caller has already jittered)
+    _, vjp = jax.vjp(jnp.linalg.cholesky, A)
+    return vjp(ct)
+
+
+_pallas_chol_core.defvjp(_pallas_chol_fwd, _pallas_chol_bwd)
 
 
 def safe_cholesky(A: jnp.ndarray, jitter: float | None = DEFAULT_JITTER) -> jnp.ndarray:
     """Cholesky of A + jitter*I, symmetrized first."""
-    return _cholesky_any(add_jitter(symmetrize(A), jitter))
+    return _cholesky_any(add_jitter(symmetrize(A), jitter), assume_psd=True)
 
 
 def safe_cholesky_rel(A: jnp.ndarray, rel: float | None = None) -> jnp.ndarray:
@@ -132,7 +166,8 @@ def safe_cholesky_rel(A: jnp.ndarray, rel: float | None = None) -> jnp.ndarray:
     eps = rel * scale + 1e-30  # absolute floor keeps chol(0) finite
     n = A.shape[-1]
     return _cholesky_any(
-        symmetrize(A) + eps[..., None, None] * jnp.eye(n, dtype=A.dtype)
+        symmetrize(A) + eps[..., None, None] * jnp.eye(n, dtype=A.dtype),
+        assume_psd=True,
     )
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .kalman import FilterResult, SmootherResult, observation_mask
 from .matrix import bmm, highest_precision
-from .sqrt_kalman import _sqrt_update, tria
+from .sqrt_kalman import _sqrt_update, tria, tria_sum
 
 __all__ = ["parallel_sqrt_kalman_filter", "parallel_sqrt_rts_smoother"]
 
@@ -67,7 +67,25 @@ def _solve_tri(L, B, lower=True):
 
 def _build_sqrt_elements(A, Q_sqrt, H, R_sqrt, y, mask, m0, U0):
     """Vectorised sqrt filtering elements for all T steps (prior folded into
-    element 0)."""
+    element 0).
+
+    All ops are [p|d]-row lane-batched primitives. The historical
+    (p+d)-row joint pre-array tria falls off the Pallas LQ gate (rows > 48)
+    onto XLA's ~20 us/matrix batched QR — measured to DOMINATE the whole
+    sqrt filter at T-wide batches. Instead:
+
+      S^1/2  = tria([H Up, R^1/2])          p-row LQ (info-side: exact
+                                            orthogonal transform, resolves
+                                            the full scale/noise spread)
+      K S^1/2 = Up (S^-1/2 H Up)^T          triangular solves vs S^1/2
+                                            (cond ~ sqrt(cond S))
+      U'     = tria_sum((I-KH) Up, K R^1/2) JOSEPH form: a PSD sum, valid
+                                            for ANY K, so it tolerates the
+                                            solve roundoff in K and routes
+                                            to the fused chol-of-Gram
+                                            kernel (covariance-side safe)
+      Z      = tria(A^T (S^-1/2 H)^T)       p-row LQ (info-side)
+    """
     T, d = y.shape[0], m0.shape[-1]
     p = y.shape[1]
     dtype = U0.dtype
@@ -85,41 +103,26 @@ def _build_sqrt_elements(A, Q_sqrt, H, R_sqrt, y, mask, m0, U0):
     m_loc = jnp.zeros((T, d), dtype).at[0].set(A[0] @ m0)
 
     HU = jnp.einsum("tpi,tij->tpj", Hm, Up_loc)  # [T, p, d]
-    pre = jnp.concatenate(
-        [
-            jnp.concatenate([HU, Rs_m], axis=-1),
-            jnp.concatenate(
-                [Up_loc, jnp.zeros((T, d, p), dtype)], axis=-1
-            ),
-        ],
-        axis=-2,
-    )  # [T, p+d, d+p]
-    Tm = tria(pre)
-    S_sqrt = Tm[:, :p, :p]
-    KS = Tm[:, p:, :p]  # = K S^1/2
-    U_out = Tm[:, p:, p:]
+    # [HU, Rs] has full row rank (Rs diag > 0 incl. masked identity filler)
+    L_S = tria(jnp.concatenate([HU, Rs_m], axis=-1), assume_full_rank=True)
 
     v = y0 - jnp.einsum("tpj,tj->tp", Hm, m_loc)
-    Sv = _solve_tri(S_sqrt, v[..., None])[..., 0]  # S^-1/2 v
+    Sv = _solve_tri(L_S, v[..., None])[..., 0]  # S^-1/2 v
+    N = _solve_tri(L_S, HU)  # [T, p, d] = S^-1/2 H Up
+    M = _solve_tri(L_S, Hm)  # [T, p, d] = S^-1/2 H
+    KS = bmm(Up_loc, N, tb=True)  # K S^1/2 = Up N^T
     b_out = m_loc + jnp.einsum("tip,tp->ti", KS, Sv)
-    # K = KS S^-1/2; A' = A - K Hm A
-    KH = jnp.einsum(
-        "tip,tpj->tij",
-        KS,
-        _solve_tri(S_sqrt, Hm),
-    )
+    KH = bmm(KS, M)  # K Hm
     A_out = A - jnp.einsum("tij,tjk->tik", KH, A)
 
-    # eta = A^T Hm^T S^-1 v ; Z = tria(A^T Hm^T S^-T)
-    SinvT_v = _solve_tri(
-        jnp.swapaxes(S_sqrt, -1, -2), Sv[..., None], lower=False
-    )[..., 0]
-    eta = jnp.einsum("tji,tpj,tp->ti", A, Hm, SinvT_v)
-    HtSmT = jnp.einsum(
-        "tpj,tpq->tjq", Hm, jnp.swapaxes(_solve_tri(S_sqrt, jnp.broadcast_to(
-            jnp.eye(p, dtype=dtype), (T, p, p))), -1, -2)
-    )  # A^T H^T S^-T precursor: H^T S^-T [T, d, p]
-    Z = tria(jnp.einsum("tji,tjq->tiq", A, HtSmT))
+    # Joseph-form posterior factor: U' U'^T = (I-KH) P (I-KH)^T + K R K^T
+    Rtil = _solve_tri(L_S, Rs_m)  # [T, p, p] = S^-1/2 R^1/2
+    U_out = tria_sum(Up_loc - bmm(KH, Up_loc), bmm(KS, Rtil))
+
+    # eta = A^T Hm^T S^-1 v = A^T (M^T Sv); Z = tria(A^T M^T)
+    w_e = jnp.einsum("tpi,tp->ti", M, Sv)  # H^T S^-1 v
+    eta = jnp.einsum("tji,tj->ti", A, w_e)
+    Z = tria(bmm(A, M, ta=True, tb=True))
 
     # first element: A = 0, eta = 0, Z = 0 (prior folded into b, U)
     A_out = A_out.at[0].set(jnp.zeros((d, d), dtype))
@@ -157,8 +160,12 @@ def _sqrt_filtering_operator(e1, e2):
     dtype = e1.A.dtype
     eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
     G = bmm(e1.U, e2.Z, ta=True)  # U1^T Z2 [d, d]
-    Xi = tria(jnp.concatenate([G, eye], axis=-1))  # chol(I + G G^T)
-    Lam = tria(jnp.concatenate([jnp.swapaxes(G, -1, -2), eye], axis=-1))
+    # info-side Woodbury factors stay on the LQ (chol-of-Gram cannot resolve
+    # ||G||^2 > 1/eps spreads — see ops/pallas/batched_chol.py); [G, I] has
+    # full row rank, so the regularisation block is skipped
+    Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
+    Lam = tria(jnp.concatenate([jnp.swapaxes(G, -1, -2), eye], axis=-1),
+               assume_full_rank=True)
     # W1 = U1 Xi^-T  (right-solve)
     W1 = jnp.swapaxes(
         _solve_tri(Xi, jnp.swapaxes(e1.U, -1, -2), lower=True), -1, -2
@@ -183,7 +190,7 @@ def _sqrt_filtering_operator(e1, e2):
         "...ij,...j->...i", e2.A, u - jnp.einsum("...ij,...j->...i", W1, Gz)
     )
 
-    U = tria(jnp.concatenate([A2W1, e2.U], axis=-1))
+    U = tria_sum(A2W1, e2.U)
 
     # eta = eta1 + A1^T (w - Z2 Lam^-T Lam^-1 G^T U1^T w), w = eta2 - Z2 Z2^T b1
     w = e2.eta - jnp.einsum("...ij,...kj,...k->...i", e2.Z, e2.Z, e1.b)
@@ -195,11 +202,9 @@ def _sqrt_filtering_operator(e1, e2):
     )
     eta = e1.eta + jnp.einsum("...ji,...j->...i", e1.A, w - corr)
 
-    Z = tria(
-        jnp.concatenate(
-            [bmm(e1.A, V2, ta=True), e1.Z], axis=-1
-        )
-    )
+    # info-side: LQ (see Xi/Lam note); rank-deficient (zeroed) inputs need
+    # tria's regularised/zero-bypass path
+    Z = tria(jnp.concatenate([bmm(e1.A, V2, ta=True), e1.Z], axis=-1))
     return _SqrtFilterElems(A=A, b=b, U=U, eta=eta, Z=Z)
 
 
@@ -212,20 +217,13 @@ def _per_step_lml_sqrt(A, Q_sqrt, H, R_sqrt, y, mask, ms, m0, U0, Us):
     m_prev = jnp.roll(ms, 1, axis=0).at[0].set(m0)
     U_prev = jnp.roll(Us, 1, axis=0).at[0].set(U0)
     m_pred = jnp.einsum("tij,tj->ti", A, m_prev)
-    Up = tria(
-        jnp.concatenate(
-            [bmm(A, U_prev), Q_sqrt], axis=-1
-        )
-    )
+    Up = tria_sum(bmm(A, U_prev), Q_sqrt)
     Hm = mask[..., :, None] * H
     Rs_m = mask[..., :, None] * R_sqrt * mask[..., None, :] + jnp.einsum(
         "tp,pq->tpq", 1.0 - mask, jnp.eye(p, dtype=dtype)
     )
-    S_sqrt = tria(
-        jnp.concatenate(
-            [bmm(Hm, Up), Rs_m], axis=-1
-        )
-    )
+    S_sqrt = tria(jnp.concatenate([bmm(Hm, Up), Rs_m], axis=-1),
+                  assume_full_rank=True)
     y0 = jnp.where(mask > 0, jnp.nan_to_num(y), 0.0)
     v = y0 - jnp.einsum("tpj,tj->tp", Hm, m_pred)
     alpha = _solve_tri(S_sqrt, v[..., None])[..., 0]
@@ -301,11 +299,7 @@ def _sqrt_smoothing_operator(ej, ei):
     ej, ei = _broadcast_batch(ej, ei)
     E = bmm(ei.E, ej.E)
     g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
-    D = tria(
-        jnp.concatenate(
-            [bmm(ei.E, ej.D), ei.D], axis=-1
-        )
-    )
+    D = tria_sum(bmm(ei.E, ej.D), ei.D)
     return _SqrtSmootherElems(E=E, g=g, D=D)
 
 
@@ -325,30 +319,21 @@ def parallel_sqrt_rts_smoother(
     # roll[-1] pairs A[0] = I, Qs[0] = 0 with Us[-1]: well-conditioned junk.
     A_next = jnp.roll(A, -1, axis=0)
     Qs_next = jnp.roll(Q_sqrt, -1, axis=0)
-    # pre-array per step: [[A U, Qs], [U, 0]] -> Pp^1/2, G Pp^1/2, Y22
-    pre = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [bmm(A_next, Us), Qs_next], axis=-1
-            ),
-            jnp.concatenate(
-                [Us, jnp.zeros((T, d, d), dtype)], axis=-1
-            ),
-        ],
-        axis=-2,
-    )
-    Tm = tria(pre)
-    Pp_sqrt = Tm[:, :d, :d]
-    GP = Tm[:, d:, :d]
-    Y22 = Tm[:, d:, d:]
-    G = jnp.swapaxes(
-        _solve_tri(
-            jnp.swapaxes(Pp_sqrt, -1, -2), jnp.swapaxes(GP, -1, -2),
-            lower=False,
-        ),
-        -1,
-        -2,
-    )
+    # All [d]-row lane ops (the historical [[A U, Qs], [U, 0]] 2d-row joint
+    # pre-array tria falls off the Pallas LQ gate onto XLA's batched QR and
+    # its [T, 2d, 2d+reg] transpose OOMs HBM at T = 100k):
+    #   Pp^1/2 = tria_sum(A U, Qs)        chol-of-Gram (covariance-side)
+    #   G      = P A^T Pp^-1              two triangular solves
+    #   Y22    = tria_sum((I-GA) U, G Qs) JOSEPH smoother factor, exact:
+    #            W P W^T + G Q G^T = P - G Pp G^T for W = I - G A
+    AU = bmm(A_next, Us)
+    Pp_sqrt = tria_sum(AU, Qs_next)
+    AP = bmm(AU, Us, tb=True)  # A P
+    Gt = _solve_tri(
+        jnp.swapaxes(Pp_sqrt, -1, -2), _solve_tri(Pp_sqrt, AP), lower=False
+    )  # Pp^-1 A P
+    G = jnp.swapaxes(Gt, -1, -2)
+    Y22 = tria_sum(Us - bmm(G, AU), bmm(G, Qs_next))
     m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
     g = ms - jnp.einsum("tij,tj->ti", G, m_pred)
 

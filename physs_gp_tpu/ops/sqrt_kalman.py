@@ -15,6 +15,7 @@ fixed-shape (masked H rows + identity filler) algebra as the dense filters.
 """
 from __future__ import annotations
 
+import functools
 import math
 
 from typing import NamedTuple
@@ -26,12 +27,13 @@ from .gaussian import mask_covariance
 from .kalman import FilterResult, SmootherResult, observation_mask
 from .matrix import highest_precision, symmetrize
 
-__all__ = ["tria", "psd_sqrt", "sqrt_kalman_filter", "sqrt_rts_smoother"]
+__all__ = ["tria", "tria_sum", "psd_sqrt", "sqrt_kalman_filter",
+           "sqrt_rts_smoother"]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
 
-def tria(B: jnp.ndarray) -> jnp.ndarray:
+def tria(B: jnp.ndarray, assume_full_rank: bool = False) -> jnp.ndarray:
     """Lower-triangular L [.., d, d] with L L^T ≈ B B^T, B [.., d, m].
 
     A tiny RELATIVE identity block is appended before the QR: rank-deficient
@@ -39,7 +41,15 @@ def tria(B: jnp.ndarray) -> jnp.ndarray:
     the QR gradient (it solves against R's diagonal). The perturbation adds
     O(eps^2) = 1e-12 relative to the reconstructed covariance — far below
     fp32 resolution — and makes every tria differentiable.
+
+    `assume_full_rank=True` skips the regularisation block and the
+    exact-zero bypass — for pre-arrays with a guaranteed full-row-rank
+    block (e.g. [G, I] Woodbury factors, [HU, R^1/2] with positive noise):
+    one third less LQ work at the combine's hot shapes, still
+    differentiable (QR of a full-row-rank matrix is smooth).
     """
+    if assume_full_rank:
+        return _tria_core(B)
     d, m = B.shape[-2], B.shape[-1]
     fp32 = jnp.dtype(B.dtype).itemsize < 8
     eps = 1e-6 if fp32 else 1e-9
@@ -107,6 +117,81 @@ def _tria_core_bwd(B_safe, ct):
 
 
 _tria_core.defvjp(_tria_core_fwd, _tria_core_bwd)
+
+
+def _eye_like(X: jnp.ndarray) -> jnp.ndarray:
+    d = X.shape[-2]
+    return jnp.broadcast_to(jnp.eye(d, dtype=X.dtype), X.shape[:-1] + (d,))
+
+
+def _tria_sum_xla(X, Y, plus_eye: bool):
+    """Reference composition for tria_sum: tria of the concatenated
+    pre-array (regularised QR — differentiable, backward-stable)."""
+    parts = [X]
+    if Y is not None:
+        parts.append(Y)
+    if plus_eye:
+        parts.append(_eye_like(X))
+    return tria(jnp.concatenate(parts, axis=-1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _chol_gram_core(X, Y, plus_eye):
+    from .pallas.batched_chol import batch_chol_gram
+
+    return batch_chol_gram(X, Y, plus_eye=plus_eye)
+
+
+def _chol_gram_fwd(X, Y, plus_eye):
+    return _chol_gram_core(X, Y, plus_eye), (X, Y)
+
+
+def _chol_gram_bwd(plus_eye, res, ct):
+    # recompute through the XLA QR composition (same canonical factor, so
+    # the cotangent maps agree); QR stays finite for rank-deficient inputs
+    # where a Cholesky-path gradient would divide by ~zero pivots
+    X, Y = res
+    if Y is None:
+        _, vjp = jax.vjp(lambda x: _tria_sum_xla(x, None, plus_eye), X)
+        return vjp(ct) + (None,)
+    _, vjp = jax.vjp(lambda x, y: _tria_sum_xla(x, y, plus_eye), X, Y)
+    return vjp(ct)
+
+
+_chol_gram_core.defvjp(_chol_gram_fwd, _chol_gram_bwd)
+
+
+def tria_sum(X: jnp.ndarray, Y: jnp.ndarray | None = None,
+             plus_eye: bool = False) -> jnp.ndarray:
+    """Lower-triangular L with L Lᵀ ≈ X Xᵀ (+ Y Yᵀ) (+ I when plus_eye).
+
+    Semantically `tria(concat([X, Y, I]))`, but every term is a PSD SUM (no
+    downdating), so on TPU it routes to the fused lane-batched Gram+Cholesky
+    kernel (`ops.pallas.batched_chol`): ~half the flops of the Householder
+    LQ on the concatenated pre-array, no concatenate, one launch. This is
+    the hot primitive of the parallel sqrt combine (4 calls per combine).
+    Falls back to `tria` off-TPU / at narrow batches.
+    """
+    from .pallas.batched_chol import use_pallas_chol
+
+    if not (use_pallas_chol(X.shape)
+            and (Y is None or Y.shape[:-1] == X.shape[:-1])):
+        return _tria_sum_xla(X, Y, plus_eye)
+    if plus_eye:  # Gram + I: spectrum >= 1, never degenerate
+        return _chol_gram_core(X, Y, plus_eye)
+    # exactly-zero pre-arrays (zeroed first-element factors) — same double-
+    # where bypass as `tria`: output 0 with a well-defined zero gradient
+    fp32 = jnp.dtype(X.dtype).itemsize < 8
+    floor = 1e-24 if fp32 else 1e-60
+    d = X.shape[-2]
+    s2 = jnp.sum(X * X, axis=(-1, -2), keepdims=True)
+    if Y is not None:
+        s2 = s2 + jnp.sum(Y * Y, axis=(-1, -2), keepdims=True)
+    s2 = s2 / d + floor
+    is_zero = s2 <= 2.0 * floor
+    Xs = jnp.where(is_zero, _eye_like(X)[..., : X.shape[-1]], X)
+    Ys = None if Y is None else jnp.where(is_zero, 0.0, Y)
+    return jnp.where(is_zero, 0.0, _chol_gram_core(Xs, Ys, plus_eye))
 
 
 def psd_sqrt(A: jnp.ndarray) -> jnp.ndarray:

@@ -254,3 +254,145 @@ def test_tria_custom_vjp_matches_xla():
         + jnp.sum(_tria_canonical_xla(b)[:, 0])
     )(X)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-8)
+
+
+def test_batch_chol_gram_interpret():
+    from physs_gp_tpu.ops.pallas.batched_chol import batch_chol_gram
+
+    rng = np.random.default_rng(13)
+    for (B, d, mx, my) in [(300, 5, 5, 5), (280, 8, 16, 8), (130, 3, 7, 0)]:
+        X = rng.normal(size=(B, d, mx))
+        Y = rng.normal(size=(B, d, my)) if my else None
+        for plus_eye in (False, True):
+            L = np.asarray(batch_chol_gram(
+                jnp.asarray(X), None if Y is None else jnp.asarray(Y),
+                plus_eye=plus_eye, interpret=True,
+            ))
+            ref = X @ np.swapaxes(X, 1, 2)
+            if Y is not None:
+                ref = ref + Y @ np.swapaxes(Y, 1, 2)
+            if plus_eye:
+                ref = ref + np.eye(d)
+            np.testing.assert_allclose(
+                L @ np.swapaxes(L, 1, 2), ref, rtol=1e-9, atol=1e-9,
+            )
+            assert np.allclose(np.triu(L, 1), 0.0)
+            assert (np.diagonal(L, axis1=1, axis2=2) >= 0.0).all()
+
+
+def test_batch_chol_gram_rank_deficient_and_zero():
+    from physs_gp_tpu.ops.pallas.batched_chol import batch_chol_gram
+
+    rng = np.random.default_rng(14)
+    B, d = 130, 6
+    # rank-2 Gram + an all-zero matrix in the batch
+    X = rng.normal(size=(B, d, 2))
+    X[0] = 0.0
+    L = np.asarray(batch_chol_gram(jnp.asarray(X), interpret=True))
+    assert np.isfinite(L).all()
+    ref = X @ np.swapaxes(X, 1, 2)
+    scale = np.maximum(np.trace(ref, axis1=1, axis2=2)[:, None, None] / d,
+                       1.0)
+    np.testing.assert_allclose(
+        (L @ np.swapaxes(L, 1, 2) - ref) / scale, 0.0, atol=1e-6,
+    )
+
+
+def test_tria_sum_kernel_path_matches_tria(monkeypatch):
+    import functools
+
+    from physs_gp_tpu.ops.pallas import batched_chol as bc
+    from physs_gp_tpu.ops.sqrt_kalman import tria, tria_sum
+
+    monkeypatch.setattr(bc, "use_pallas_chol", lambda *a, **k: True)
+    monkeypatch.setattr(
+        bc, "batch_chol_gram",
+        functools.partial(bc.batch_chol_gram.__wrapped__, interpret=True),
+    )
+    rng = np.random.default_rng(15)
+    B, d = 140, 5
+    X = jnp.asarray(rng.normal(size=(B, d, d)))
+    Y = jnp.asarray(rng.normal(size=(B, d, d)))
+    # include exactly-zero pre-arrays (zeroed first-element factors)
+    X = X.at[3].set(0.0)
+    Y = Y.at[3].set(0.0)
+    for args in [(X, Y), (X, None), (X, None, True), (X, Y, True)]:
+        got = np.asarray(tria_sum(*args))
+        parts = [a for a in args[:2] if a is not None]
+        if len(args) > 2 and args[2]:
+            parts.append(jnp.broadcast_to(jnp.eye(d), (B, d, d)))
+        ref = np.asarray(tria(jnp.concatenate(parts, axis=-1)))
+        np.testing.assert_allclose(
+            got @ np.swapaxes(got, 1, 2), ref @ np.swapaxes(ref, 1, 2),
+            rtol=1e-8, atol=1e-10,
+        )
+
+
+def test_tria_sum_custom_vjp_matches_fallback(monkeypatch):
+    import functools
+
+    from physs_gp_tpu.ops.pallas import batched_chol as bc
+    from physs_gp_tpu.ops import sqrt_kalman as sk
+
+    rng = np.random.default_rng(16)
+    B, d = 140, 4
+    X = jnp.asarray(rng.normal(size=(B, d, d)))
+    Y = jnp.asarray(rng.normal(size=(B, d, d)))
+
+    def loss(x, y):
+        return (jnp.sum(sk.tria_sum(x, y) ** 2)
+                + jnp.sum(sk.tria_sum(x, plus_eye=True)[:, 0]))
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(X, Y)  # fallback (gate off on CPU)
+    monkeypatch.setattr(bc, "use_pallas_chol", lambda *a, **k: True)
+    monkeypatch.setattr(
+        bc, "batch_chol_gram",
+        functools.partial(bc.batch_chol_gram.__wrapped__, interpret=True),
+    )
+    g_k = jax.grad(loss, argnums=(0, 1))(X, Y)
+    for gk, gr in zip(jax.tree_util.tree_leaves(g_k),
+                      jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_batch_cholesky_interpret():
+    from physs_gp_tpu.ops.pallas.batched_chol import batch_cholesky
+
+    rng = np.random.default_rng(17)
+    B, d = 200, 7
+    X = rng.normal(size=(B, d, d + 3))
+    A = X @ np.swapaxes(X, 1, 2) + 0.1 * np.eye(d)
+    L = np.asarray(batch_cholesky(jnp.asarray(A), interpret=True))
+    np.testing.assert_allclose(L @ np.swapaxes(L, 1, 2), A,
+                               rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.triu(L, 1), 0.0)
+    ref = np.linalg.cholesky(A)
+    np.testing.assert_allclose(L, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_pallas_chol_core_grad_matches_xla(monkeypatch):
+    import functools
+
+    from physs_gp_tpu.ops import matrix as mx
+    from physs_gp_tpu.ops.pallas import batched_chol as bc
+
+    monkeypatch.setattr(bc, "use_pallas_chol", lambda *a, **k: True)
+    monkeypatch.setattr(
+        bc, "batch_cholesky",
+        functools.partial(bc.batch_cholesky.__wrapped__, interpret=True),
+    )
+    rng = np.random.default_rng(18)
+    B, d = 140, 5
+    X = rng.normal(size=(B, d, d + 2))
+    A = jnp.asarray(X @ np.swapaxes(X, 1, 2) + 0.2 * np.eye(d))
+
+    def loss(a):
+        L = mx.safe_cholesky_rel(a)
+        return jnp.sum(L ** 2) + jnp.sum(L[:, 0])
+
+    g_k = jax.grad(loss)(A)
+    monkeypatch.setattr(bc, "use_pallas_chol", lambda *a, **k: False)
+    g_x = jax.grad(loss)(A)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=1e-7, atol=1e-9)
