@@ -49,7 +49,7 @@ def use_pallas_chol(shape, d_max: int = 48, m_max: int = 128) -> bool:
         and len(shape) == 3
         and shape[-2] <= d_max
         and shape[-1] <= m_max
-        and shape[0] >= 2 * _LANES
+        and shape[0] >= _LANES  # one full lane block (Sklansky levels = 128)
     )
 
 

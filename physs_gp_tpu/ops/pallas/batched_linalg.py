@@ -61,7 +61,7 @@ def use_pallas_linalg(shape, d_max: int = 40) -> bool:
         _on_tpu_backend()
         and len(shape) == 3
         and shape[-1] <= d_max
-        and shape[0] >= 2 * _LANES
+        and shape[0] >= _LANES  # one full lane block (Sklansky levels = 128)
     )
 
 

@@ -124,6 +124,35 @@ def _batched_inverse(M):
 
 
 
+def _sklansky_scan(op, elems):
+    """Inclusive scan whose EVERY combine runs at a constant n/2-wide batch.
+
+    `jax.lax.associative_scan`'s recursive schedule halves the combine batch
+    each level, so for small n (the 256 block totals of
+    `blocked_inclusive_scan`) every level sits below the Pallas lane gate
+    and falls onto XLA's slow small-batch QR/LU paths — measured ~40 ms per
+    sqrt inner scan, a large share of the remaining sqrt-path time.
+    Sklansky's schedule does more work (n/2 * log2 n combines vs ~2n) but
+    issues ONE op() call per level at batch n/2, which stays on the
+    lane-batched kernels. Gather/scatter indices are static numpy arrays.
+    Requires power-of-two n (caller checks)."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(elems)
+    n = leaves[0].shape[0]
+    idx = np.arange(n)
+    for lev in range(n.bit_length() - 1):
+        sel = idx[(idx & (1 << lev)) != 0]
+        anchor = (sel >> lev << lev) - 1
+        a = jax.tree_util.tree_map(lambda x: x[anchor], elems)
+        b = jax.tree_util.tree_map(lambda x: x[sel], elems)
+        c = op(a, b)
+        elems = jax.tree_util.tree_map(
+            lambda x, cc: x.at[sel].set(cc), elems, c
+        )
+    return elems
+
+
 def blocked_inclusive_scan(op, elems, ident):
     """Inclusive scan keeping EVERY combine at a Pallas-friendly batch width.
 
@@ -170,7 +199,10 @@ def blocked_inclusive_scan(op, elems, ident):
 
     _, intra = jax.lax.scan(body, ident_b, blocked)  # [L, B, ...]
     block_tot = jax.tree_util.tree_map(lambda x: x[-1], intra)
-    tot_scan = jax.lax.associative_scan(op, block_tot)
+    if n_blocks & (n_blocks - 1) == 0:
+        tot_scan = _sklansky_scan(op, block_tot)  # constant-width combines
+    else:
+        tot_scan = jax.lax.associative_scan(op, block_tot)
     prefix = jax.tree_util.tree_map(
         lambda ts, idb: jnp.concatenate([idb[:1], ts[:-1]]), tot_scan, ident_b
     )

@@ -396,3 +396,25 @@ def test_pallas_chol_core_grad_matches_xla(monkeypatch):
     g_x = jax.grad(loss)(A)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_sklansky_scan_matches_associative_scan():
+    from physs_gp_tpu.ops.parallel_kalman import _sklansky_scan
+
+    rng = np.random.default_rng(19)
+    for n in (8, 64, 256):
+        # non-commutative associative op: 2x2 matrix products + running sum
+        A = jnp.asarray(rng.normal(size=(n, 2, 2)) * 0.3 + np.eye(2))
+        b = jnp.asarray(rng.normal(size=(n, 2)))
+
+        def op(e1, e2):
+            A1, b1 = e1
+            A2, b2 = e2
+            return (jnp.einsum("...ij,...jk->...ik", A2, A1),
+                    jnp.einsum("...ij,...j->...i", A2, b1) + b2)
+
+        got = _sklansky_scan(op, (A, b))
+        ref = jax.lax.associative_scan(op, (A, b))
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-10, atol=1e-12)
