@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-__all__ = ["parse_args", "Timer", "rmse", "nlpd_gaussian", "dump_results"]
+__all__ = ["parse_args", "Timer", "rmse", "dump_results"]
 
 
 def parse_args(name: str, extra=None):
@@ -46,16 +46,6 @@ def rmse(pred, truth) -> float:
     pred, truth = np.asarray(pred).ravel(), np.asarray(truth).ravel()
     ok = np.isfinite(truth)
     return float(np.sqrt(np.mean((pred[ok] - truth[ok]) ** 2)))
-
-
-def nlpd_gaussian(mean, var, truth) -> float:
-    """Mean Gaussian NLPD (ref `metrics/nlpd.py:44`)."""
-    mean, var, truth = (np.asarray(a).ravel() for a in (mean, var, truth))
-    ok = np.isfinite(truth)
-    v = np.maximum(var[ok], 1e-12)
-    return float(np.mean(
-        0.5 * (np.log(2 * np.pi * v) + (truth[ok] - mean[ok]) ** 2 / v)
-    ))
 
 
 def dump_results(out_dir: str, name: str, results: dict) -> pathlib.Path:

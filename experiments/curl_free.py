@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from experiments.common import Timer, dump_results, nlpd_gaussian, parse_args, rmse
+from experiments.common import Timer, dump_results, parse_args, rmse
+from physs_gp_tpu.metrics import gaussian_nlpd
 from physs_gp_tpu.kernels.rbf import RBF
 from physs_gp_tpu.likelihoods.gaussian import Gaussian
 from physs_gp_tpu.models import BatchGP
@@ -42,9 +43,13 @@ def main():
     Xs = rng.uniform(-1.8, 1.8, (n_test, 2))
     truth = _field(Xs)
 
+    # fp64 on CPU (reference-faithful), fp32 on TPU (no fp64 hardware)
+    dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
     with Timer() as tm:
-        m = curl_free_gp(X, Y, noise=noise ** 2)
+        m = curl_free_gp(X, Y, noise=noise ** 2, dtype=dtype)
         pred = jax.jit(lambda mm, xs: mm.predict_f(xs))(m, jnp.asarray(Xs))
+        # model-API predictive density (observation space)
+        pred_y = jax.jit(lambda mm, xs: mm.predict_y(xs))(m, jnp.asarray(Xs))
 
     # independent-output baseline: one RBF GP per component
     base_preds = []
@@ -63,7 +68,9 @@ def main():
         "metrics": {
             "rmse": rmse(pred.mean, truth),
             "rmse_independent_gp": rmse(base_mean, truth),
-            "nlpd": nlpd_gaussian(pred.mean, pred.var, truth),
+            "nlpd": float(gaussian_nlpd(
+                truth.reshape(np.asarray(pred_y.mean).shape),
+                pred_y.mean, pred_y.var)),
         },
         "meta": {"training_time": tm.seconds},
     }

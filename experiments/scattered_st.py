@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from experiments.common import Timer, dump_results, nlpd_gaussian, parse_args, rmse
+from experiments.common import Timer, dump_results, parse_args, rmse
+from physs_gp_tpu.metrics import gaussian_nlpd
 from physs_gp_tpu.kernels import Matern32
 from physs_gp_tpu.kernels.rbf import RBF
 from physs_gp_tpu.utils.params import positive_param
@@ -43,13 +44,17 @@ def main():
     test = rng.uniform(size=A.shape[0]) < 0.2
     train_rows, test_rows = A[~test], A[test]
 
+    # fp64 on CPU (reference-faithful), fp32 on TPU (no fp64 hardware)
+    dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
     with Timer() as tm:
         m, data = scattered_st_gp(
             train_rows[:, :3], train_rows[:, 3], n_inducing=12,
             k_time=Matern32(lengthscale=1.5, variance=1.0),
-            k_space=RBF(lengthscales=positive_param(jnp.array([0.8, 0.8])),
-                        variance=positive_param(1.0)),
-            noise=noise ** 2,
+            k_space=RBF(lengthscales=positive_param(jnp.array([0.8, 0.8],
+                                                              dtype)),
+                        variance=positive_param(jnp.asarray(1.0, dtype))),
+            noise=noise ** 2, dtype=dtype,
+            parallel=jax.default_backend() != "cpu",
         )
         lml = float(jax.jit(lambda mm: mm.log_marginal_likelihood())(m))
         post = jax.jit(lambda mm: mm.posterior())(m)
@@ -64,7 +69,9 @@ def main():
         "metrics": {
             "lml": lml,
             "rmse_train_rows": rmse(mean_rows, truth_train),
-            "nlpd_train_rows": nlpd_gaussian(mean_rows, var_rows, truth_train),
+            # observation-space density: latent var + observation noise
+            "nlpd_train_rows": float(gaussian_nlpd(
+                truth_train, mean_rows, var_rows + noise ** 2)),
         },
         "meta": {"training_time": tm.seconds},
     }

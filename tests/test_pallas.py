@@ -418,3 +418,24 @@ def test_sklansky_scan_matches_associative_scan():
         for g, r in zip(got, ref):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=1e-10, atol=1e-12)
+
+
+def test_tria_assume_full_rank_matches_regularised():
+    from physs_gp_tpu.ops.sqrt_kalman import tria
+
+    rng = np.random.default_rng(20)
+    B, d = 12, 5
+    # full-row-rank pre-arrays: [X, I] Woodbury shape
+    X = rng.normal(size=(B, d, d))
+    pre = jnp.asarray(np.concatenate([X, np.tile(np.eye(d), (B, 1, 1))], -1))
+    fr = np.asarray(tria(pre, assume_full_rank=True))
+    reg = np.asarray(tria(pre))
+    np.testing.assert_allclose(fr @ np.swapaxes(fr, 1, 2),
+                               reg @ np.swapaxes(reg, 1, 2),
+                               rtol=1e-9, atol=1e-11)
+    # gradients stay finite and match the regularised path
+    g_fr = jax.grad(lambda b: jnp.sum(tria(b, assume_full_rank=True) ** 2))(pre)
+    g_rg = jax.grad(lambda b: jnp.sum(tria(b) ** 2))(pre)
+    assert np.isfinite(np.asarray(g_fr)).all()
+    np.testing.assert_allclose(np.asarray(g_fr), np.asarray(g_rg),
+                               rtol=1e-5, atol=1e-8)
