@@ -86,7 +86,7 @@ class SpatioTemporalKernel(Kernel):
         Ns = self.n_sites
         eye_s = jnp.eye(Ns, dtype=A_t.dtype)
         Ks = self.Kzz()
-        # gather-based lift: the broadcast kron's [T, Ns, d, Ns, d]
+        # tile-based lift: the broadcast kron's [T, Ns, d, Ns, d]
         # intermediate OOMs TPU compilation at T ~ 100k (see
         # ops.matrix.kron_lift)
         A = kron_lift(eye_s, A_t)  # [T, Ns*d, Ns*d]

@@ -45,6 +45,11 @@ class FilterResult(NamedTuple):
     Ps: jnp.ndarray  # [T, d, d] filtered covariances
     lml: jnp.ndarray  # scalar   log marginal likelihood
     lmls: jnp.ndarray  # [T]     per-step lml contributions
+    # one-step-ahead predicted covariance (or sqrt factor, in the sqrt
+    # filters) at t|t-1 — a byproduct of the parallel filters' post-hoc lml
+    # pass that the parallel smoothers reuse (their P_pred is this shifted
+    # by one: P_pred_smoother[t] = Pp[t+1]). None from sequential filters.
+    Pp: jnp.ndarray | None = None
 
 
 class SmootherResult(NamedTuple):

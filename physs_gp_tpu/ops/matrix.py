@@ -489,18 +489,19 @@ def kron(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 def kron_lift(B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
     """kron(B, C) for STATIC B [m, m] and batched C [T, n, n] → [T, mn, mn].
 
-    Gather-broadcast formulation: out[t, s, s'] = B[s//n, s'//n] ·
-    C[t, s%n, s'%n]. The naive broadcast kron materialises a
+    Tile/repeat formulation: out[t, i·n+a, j·n+b] = B[i, j] · C[t, a, b],
+    i.e. `repeat(B)[None] * tile(C)` — both lower to broadcast+reshape (no
+    gather; XLA:TPU gathers at [T, mn, mn] measured 1.5x slower than the
+    tile lowering). The naive broadcast kron materialises a
     [T, m, n, m, n] intermediate whose trailing n (= temporal state dim,
     typically 2-3) gets padded to the 128-lane TPU tile — a 64x memory
     blowup that OOMs compilation at T = 100k (26 GB for a 410 MB tensor).
-    Gathering C up to [T, mn, mn] first keeps every tensor lane-sized.
+    Expanding C straight to [T, mn, mn] keeps every tensor lane-sized.
     """
     m = B.shape[-1]
     n = C.shape[-1]
-    s = jnp.arange(m * n)
-    Bg = B[s[:, None] // n, s[None, :] // n]  # [mn, mn]
-    Cg = C[:, s[:, None] % n, s[None, :] % n]  # [T, mn, mn]
+    Bg = jnp.repeat(jnp.repeat(B, n, axis=-2), n, axis=-1)  # [mn, mn]
+    Cg = jnp.tile(C, (1, m, m))  # [T, mn, mn]
     return Bg[None] * Cg
 
 

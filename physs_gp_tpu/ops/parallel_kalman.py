@@ -153,7 +153,7 @@ def _sklansky_scan(op, elems):
     return elems
 
 
-def blocked_inclusive_scan(op, elems, ident):
+def blocked_inclusive_scan(op, elems, ident, final_op=None, init=None):
     """Inclusive scan keeping EVERY combine at a Pallas-friendly batch width.
 
     The lane-batched Pallas linalg gates on batch >= 256
@@ -167,16 +167,30 @@ def blocked_inclusive_scan(op, elems, ident):
         -> one distribute combine at full width.
 
     Work: ~2n + O(B log B) combines (vs ~1.5n) but ALL wide. `ident` is a
-    LEFT identity element of `op` (no batch dims); exactness: associativity
-    makes any bracketing equal in exact arithmetic, fp32 orderings differ at
-    roundoff like any other scan schedule.
+    TWO-sided identity element of `op` (no batch dims; tail padding sits on
+    the right of the totals); exactness: associativity makes any bracketing
+    equal in exact arithmetic, fp32 orderings differ at roundoff like any
+    other scan schedule.
+
+    `init`: optional single element folded in from the left — equivalent to
+    `op(init, scan(elems))` but absorbed into the block-totals pass (one
+    B-wide combine) instead of an extra full-width one; this is the chunked
+    smoothers' inter-chunk carry.
+    `final_op(prefix, intra) -> pytree`: optional REDUCED combine for the
+    one distribute pass — the only combine whose full output feeds
+    downstream consumers, so emitting just the fields they use (e.g. the
+    filtered moments (b, C)) skips the dead outputs' batched matmuls. Must
+    agree with `op` on the emitted fields.
+
+    Returns `(out, total)`: the inclusive prefixes (through `final_op` when
+    given) and the FULL combine of init + all n elements (the natural
+    inter-chunk carry).
     """
     import os
 
     n_blocks = int(os.environ.get("PHYSS_SCAN_BLOCKS", "256"))
     leaves = jax.tree_util.tree_leaves(elems)
     n = leaves[0].shape[0]
-    dtype = leaves[0].dtype
     L = -(-n // n_blocks)
     pad = L * n_blocks - n
 
@@ -203,8 +217,17 @@ def blocked_inclusive_scan(op, elems, ident):
         tot_scan = _sklansky_scan(op, block_tot)  # constant-width combines
     else:
         tot_scan = jax.lax.associative_scan(op, block_tot)
+    if init is not None:
+        tot_scan = op(
+            jax.tree_util.tree_map(lambda x: bcast(x, (n_blocks,)), init),
+            tot_scan,
+        )
+        first = jax.tree_util.tree_map(lambda x: x[None], init)
+    else:
+        first = jax.tree_util.tree_map(lambda x: x[:1], ident_b)
+    total = jax.tree_util.tree_map(lambda x: x[-1], tot_scan)
     prefix = jax.tree_util.tree_map(
-        lambda ts, idb: jnp.concatenate([idb[:1], ts[:-1]]), tot_scan, ident_b
+        lambda f, ts: jnp.concatenate([f, ts[:-1]]), first, tot_scan
     )
     flat_intra = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x, 0, 1).reshape((n_blocks * L,) + x.shape[2:]),
@@ -213,12 +236,12 @@ def blocked_inclusive_scan(op, elems, ident):
     flat_prefix = jax.tree_util.tree_map(
         lambda x: jnp.repeat(x, L, axis=0), prefix
     )
-    out = op(flat_prefix, flat_intra)
-    return jax.tree_util.tree_map(lambda x: x[:n], out)
+    out = (final_op or op)(flat_prefix, flat_intra)
+    return jax.tree_util.tree_map(lambda x: x[:n], out), total
 
 
 def _inner_scan(op, elems, ident=None):
-    """Inclusive combine for ONE chunk of elements.
+    """Inclusive combine for ONE chunk of elements (full-element output).
 
     PHYSS_INNER_SCAN (read at trace time) selects the schedule:
       blocked (TPU default)  blocked_inclusive_scan — every combine at a
@@ -233,6 +256,19 @@ def _inner_scan(op, elems, ident=None):
                        doubling level re-concatenates full element copies
                        (O(T log T) HBM traffic); kept as an experiment knob
     """
+    out, _ = _inner_scan_ex(op, elems, ident)
+    return out
+
+
+def _inner_scan_ex(op, elems, ident=None, final_op=None, project=None,
+                   init=None):
+    """`_inner_scan` with the distribute-stage reductions; returns
+    `(out, total)`.
+
+    `final_op`/`init` as in `blocked_inclusive_scan`. `project` maps FULL
+    scanned elements to `final_op`'s output structure — applied on the
+    non-blocked schedules so every mode returns the same pytree shape.
+    """
     import os
 
     from .pallas.batched_linalg import _on_tpu_backend
@@ -240,12 +276,21 @@ def _inner_scan(op, elems, ident=None):
     mode = os.environ.get("PHYSS_INNER_SCAN")
     if mode is None:
         mode = "blocked" if (_on_tpu_backend() and ident is not None) else "assoc"
+    if mode == "blocked" and ident is not None:
+        return blocked_inclusive_scan(
+            op, elems, ident, final_op=final_op, init=init
+        )
     if mode == "prefix" or os.environ.get("PHYSS_PREFIX_COMBINE", "0") == "1":
         n = jax.tree_util.tree_leaves(elems)[0].shape[0]
-        return prefix_combine(op, elems, n)
-    if mode == "blocked" and ident is not None:
-        return blocked_inclusive_scan(op, elems, ident)
-    return jax.lax.associative_scan(op, elems)
+        full = prefix_combine(op, elems, n)
+    else:
+        full = jax.lax.associative_scan(op, elems)
+    if init is not None:
+        full = op(jax.tree_util.tree_map(lambda x: x[None], init), full)
+    total = jax.tree_util.tree_map(lambda x: x[-1], full)
+    if project is not None:
+        full = project(full)
+    return full, total
 
 
 def _ident_filter_elem(d, dtype):
@@ -310,9 +355,35 @@ def _filtering_operator_xla(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
     return _FilterElems(A=A, b=b, C=C, J=J, eta=eta)
 
 
+def _filtering_final(ei: _FilterElems, ej: _FilterElems):
+    """Distribute-stage combine emitting only the filtered moments (b, C).
+
+    The blocked scan's one full-width distribute pass is the only combine
+    whose output feeds downstream consumers, and they use just (b, C) — the
+    A/eta/J outputs are dead there, and skipping them drops 4 of the full
+    combine's 8 batched matmuls (the combines are ~the whole filter cost at
+    T = 100k, profile_c5f round 3)."""
+    d = ei.A.shape[-1]
+    eye = jnp.eye(d, dtype=ei.A.dtype)
+    U = _batched_inverse(eye + bmm(ei.C, ej.J))
+    AjU = bmm(ej.A, U)
+    b = jnp.einsum(
+        "...ij,...j->...i",
+        AjU,
+        ei.b + jnp.einsum("...ij,...j->...i", ei.C, ej.eta),
+    ) + ej.b
+    C = symmetrize(bmm(bmm(AjU, ei.C), ej.A, tb=True) + ej.C)
+    return b, C
+
+
+def _project_filter_moments(e: _FilterElems):
+    return e.b, e.C
+
+
 def _per_step_lml(A, Q, H, R, y, mask, ms, m0, P0, Ps):
     """Post-hoc vmapped per-step lml from one-step-ahead predictive moments
-    (ref: `parallel_kalman_filter.py:303-334`)."""
+    (ref: `parallel_kalman_filter.py:303-334`). Also returns the predicted
+    covariances P_pred[t] = P_{t|t-1} for the smoother to reuse."""
     # roll-not-slice: concat([x0[None], xs[:-1]]) is an offset-by-one slice
     # feeding batched matmuls — the 16x XLA-TPU fusion pathology (CLAUDE.md
     # rule 9); jnp.roll keeps full-length aligned layouts
@@ -323,7 +394,7 @@ def _per_step_lml(A, Q, H, R, y, mask, ms, m0, P0, Ps):
     Hm = mask[..., :, None] * H
     mu = jnp.einsum("tpj,tj->tp", Hm, m_pred)
     S = bmm(bmm(Hm, P_pred), Hm, tb=True) + R
-    return masked_mvn_logpdf(y, mu, S, mask)
+    return masked_mvn_logpdf(y, mu, S, mask), P_pred
 
 
 @highest_precision
@@ -366,11 +437,13 @@ def parallel_kalman_filter(
             elems = _build_filter_elements(
                 A_c, Q_c, H_c, R_c, y_c, mask_c, m_prev, P_prev
             )
-            inner = _inner_scan(
+            (ms_c, Ps_c), _ = _inner_scan_ex(
                 _filtering_operator, elems,
                 ident=_ident_filter_elem(elems.A.shape[-1], elems.A.dtype),
+                final_op=_filtering_final,
+                project=_project_filter_moments,
             )
-            ms_c, Ps_c = inner.b, symmetrize(inner.C)
+            Ps_c = symmetrize(Ps_c)
             return (ms_c[-1], Ps_c[-1]), (ms_c, Ps_c)
 
         _, (ms, Ps) = jax.lax.scan(chunk_step, (m0, P0), chunked)
@@ -378,8 +451,8 @@ def parallel_kalman_filter(
         Ps = Ps.reshape((T,) + Ps.shape[2:])
 
     Ps = symmetrize(Ps)
-    lmls = _per_step_lml(A, Q, H_steps, R, y, mask, ms, m0, P0, Ps)
-    return FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls)
+    lmls, Pp = _per_step_lml(A, Q, H_steps, R, y, mask, ms, m0, P0, Ps)
+    return FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls, Pp=Pp)
 
 
 class _SmootherElems(NamedTuple):
@@ -410,6 +483,18 @@ def _smoothing_operator_xla(ej: _SmootherElems, ei: _SmootherElems) -> _Smoother
     return _SmootherElems(E=E, g=g, L=L)
 
 
+def _smoothing_final(ej: _SmootherElems, ei: _SmootherElems):
+    """Distribute-stage combine emitting only the smoothed moments (g, L)
+    — the chained-gain output E is dead past the last combine."""
+    g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
+    L = symmetrize(bmm(bmm(ei.E, ej.L), ei.E, tb=True) + ei.L)
+    return g, L
+
+
+def _project_smoother_moments(e: _SmootherElems):
+    return e.g, e.L
+
+
 @highest_precision
 def parallel_rts_smoother(
     A, Q, filtered: FilterResult, chunk_size: int | None = None
@@ -434,10 +519,16 @@ def parallel_rts_smoother(
     # roll[-1] pairs A[0] = I, Q[0] = 0 with Ps[-1] (the dt_0 = 0 build
     # convention), so the junk element stays well-conditioned before fixup.
     A_next = jnp.roll(A, -1, axis=0)
-    Q_next = jnp.roll(Q, -1, axis=0)
     m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
     AP = bmm(A_next, Ps)
-    P_pred = bmm(AP, A_next, tb=True) + Q_next
+    if filtered.Pp is not None:
+        # the filter's lml pass already built P_{t+1|t} = A_{t+1} P_t A^T +
+        # Q_{t+1} (= its Pp[t+1]); roll instead of recomputing (2 T-wide
+        # bmm). roll[-1] lands Pp[0] — PSD junk, overwritten by the fixup.
+        P_pred = jnp.roll(filtered.Pp, -1, axis=0)
+    else:
+        Q_next = jnp.roll(Q, -1, axis=0)
+        P_pred = bmm(AP, A_next, tb=True) + Q_next
     E = jnp.swapaxes(psd_solve(P_pred, AP), -1, -2)
     g = ms - jnp.einsum("tij,tj->ti", E, m_pred)
     EP = bmm(E, P_pred)
@@ -457,6 +548,7 @@ def parallel_rts_smoother(
     flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
     if chunk_size is None or chunk_size >= T:
         scanned = jax.lax.associative_scan(_smoothing_operator, flipped)
+        gs, Ls = scanned.g, scanned.L
     else:
         assert T % chunk_size == 0, "T must be divisible by chunk_size"
         n_chunks = T // chunk_size
@@ -465,30 +557,31 @@ def parallel_rts_smoother(
         )
 
         def chunk_step(carry, chunk_elems):
-            inner = _inner_scan(
+            # inter-chunk carry folds into the scan's block-totals pass
+            # (`init=`), replacing the former extra full-width combine
+            (g_c, L_c), last = _inner_scan_ex(
                 _smoothing_operator, chunk_elems,
                 ident=_ident_smoother_elem(
                     chunk_elems.E.shape[-1], chunk_elems.E.dtype
                 ),
+                final_op=_smoothing_final,
+                project=_project_smoother_moments,
+                init=carry,
             )
-            combined = _smoothing_operator(
-                jax.tree_util.tree_map(lambda x: x[None], carry), inner
-            )
-            last = jax.tree_util.tree_map(lambda x: x[-1], combined)
-            return last, combined
+            return last, (g_c, L_c)
 
         init = _SmootherElems(
             E=jnp.eye(d, dtype=dtype),
             g=jnp.zeros((d,), dtype),
             L=jnp.zeros((d, d), dtype),
         )
-        _, scanned = jax.lax.scan(chunk_step, init, chunked)
-        scanned = jax.tree_util.tree_map(
-            lambda x: x.reshape((T,) + x.shape[2:]), scanned
-        )
-    scanned = jax.tree_util.tree_map(lambda x: x[::-1], scanned)
+        _, (gs, Ls) = jax.lax.scan(chunk_step, init, chunked)
+        gs = gs.reshape((T,) + gs.shape[2:])
+        Ls = Ls.reshape((T,) + Ls.shape[2:])
+    gs = gs[::-1]
+    Ls = Ls[::-1]
     # lag-one gains: E already carries [E_0..E_{T-2}, 0] after the fixup
-    return SmootherResult(ms=scanned.g, Ps=symmetrize(scanned.L), Gs=E)
+    return SmootherResult(ms=gs, Ps=symmetrize(Ls), Gs=E)
 
 def prefix_combine(op, elems, length: int):
     """Inclusive prefix combine (Hillis-Steele recursive doubling).

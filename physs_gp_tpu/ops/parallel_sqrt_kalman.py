@@ -208,8 +208,39 @@ def _sqrt_filtering_operator(e1, e2):
     return _SqrtFilterElems(A=A, b=b, U=U, eta=eta, Z=Z)
 
 
+def _sqrt_filtering_final(e1, e2):
+    """Distribute-stage combine emitting only the filtered moments (b, U).
+
+    Skips the full combine's A (two bmm), eta (Lam/V2 LQ+solves, einsums)
+    and Z (the regularised-path tria, the combine's most expensive op) —
+    all dead past the blocked scan's one full-width distribute pass."""
+    e1, e2 = _broadcast_batch(e1, e2)
+    d = e1.A.shape[-1]
+    dtype = e1.A.dtype
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
+    G = bmm(e1.U, e2.Z, ta=True)
+    Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
+    W1 = jnp.swapaxes(
+        _solve_tri(Xi, jnp.swapaxes(e1.U, -1, -2), lower=True), -1, -2
+    )
+    XiG = _solve_tri(Xi, G)
+    A2W1 = bmm(e2.A, W1)
+    u = e1.b + jnp.einsum("...ij,...kj,...k->...i", e1.U, e1.U, e2.eta)
+    Gz = jnp.einsum("...ij,...kj,...k->...i", XiG, e2.Z, u)
+    b = e2.b + jnp.einsum(
+        "...ij,...j->...i", e2.A, u - jnp.einsum("...ij,...j->...i", W1, Gz)
+    )
+    U = tria_sum(A2W1, e2.U)
+    return b, U
+
+
+def _project_sqrt_filter_moments(e: _SqrtFilterElems):
+    return e.b, e.U
+
+
 def _per_step_lml_sqrt(A, Q_sqrt, H, R_sqrt, y, mask, ms, m0, U0, Us):
-    """Post-hoc per-step lml from sqrt predictive factors."""
+    """Post-hoc per-step lml from sqrt predictive factors. Also returns the
+    predicted factors Up[t] = P_{t|t-1}^{1/2} for the smoother to reuse."""
     T, d = ms.shape
     p = y.shape[1]
     dtype = Us.dtype
@@ -231,7 +262,8 @@ def _per_step_lml_sqrt(A, Q_sqrt, H, R_sqrt, y, mask, ms, m0, U0, Us):
         jnp.log(jnp.abs(jnp.diagonal(S_sqrt, axis1=-2, axis2=-1))), -1
     )
     n_obs = jnp.sum(mask, -1)
-    return -0.5 * (jnp.sum(alpha * alpha, -1) + logdet + n_obs * _LOG2PI)
+    lmls = -0.5 * (jnp.sum(alpha * alpha, -1) + logdet + n_obs * _LOG2PI)
+    return lmls, Up
 
 
 @highest_precision
@@ -265,27 +297,29 @@ def parallel_sqrt_kalman_filter(
             elems = _build_sqrt_elements(
                 A_c, Qs_c, H_c, Rs_c, y_c, mask_c, m_prev, U_prev
             )
-            from .parallel_kalman import _inner_scan
+            from .parallel_kalman import _inner_scan_ex
 
             dd, dt = elems.A.shape[-1], elems.A.dtype
-            inner = _inner_scan(
+            (ms_c, Us_c), _ = _inner_scan_ex(
                 _sqrt_filtering_operator, elems,
                 ident=_SqrtFilterElems(
                     A=jnp.eye(dd, dtype=dt), b=jnp.zeros((dd,), dt),
                     U=jnp.zeros((dd, dd), dt), eta=jnp.zeros((dd,), dt),
                     Z=jnp.zeros((dd, dd), dt),
                 ),
+                final_op=_sqrt_filtering_final,
+                project=_project_sqrt_filter_moments,
             )
-            return (inner.b[-1], inner.U[-1]), (inner.b, inner.U)
+            return (ms_c[-1], Us_c[-1]), (ms_c, Us_c)
 
         _, (ms, Us) = jax.lax.scan(chunk_step, (m0, P0_sqrt), chunked)
         ms = ms.reshape((T,) + ms.shape[2:])
         Us = Us.reshape((T,) + Us.shape[2:])
 
-    lmls = _per_step_lml_sqrt(
+    lmls, Up = _per_step_lml_sqrt(
         A, Q_sqrt, H_steps, R_sqrt, y, mask, ms, m0, P0_sqrt, Us
     )
-    return FilterResult(ms=ms, Ps=Us, lml=jnp.sum(lmls), lmls=lmls)
+    return FilterResult(ms=ms, Ps=Us, lml=jnp.sum(lmls), lmls=lmls, Pp=Up)
 
 
 class _SqrtSmootherElems(NamedTuple):
@@ -301,6 +335,18 @@ def _sqrt_smoothing_operator(ej, ei):
     g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
     D = tria_sum(bmm(ei.E, ej.D), ei.D)
     return _SqrtSmootherElems(E=E, g=g, D=D)
+
+
+def _sqrt_smoothing_final(ej, ei):
+    """Distribute-stage combine emitting only (g, D) — E is dead there."""
+    ej, ei = _broadcast_batch(ej, ei)
+    g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
+    D = tria_sum(bmm(ei.E, ej.D), ei.D)
+    return g, D
+
+
+def _project_sqrt_smoother_moments(e: _SqrtSmootherElems):
+    return e.g, e.D
 
 
 @highest_precision
@@ -327,7 +373,14 @@ def parallel_sqrt_rts_smoother(
     #   Y22    = tria_sum((I-GA) U, G Qs) JOSEPH smoother factor, exact:
     #            W P W^T + G Q G^T = P - G Pp G^T for W = I - G A
     AU = bmm(A_next, Us)
-    Pp_sqrt = tria_sum(AU, Qs_next)
+    if filtered.Pp is not None:
+        # the filter's lml pass already built Up[t] = P_{t|t-1}^{1/2};
+        # the smoother's Pp_sqrt[t] is Up[t+1] — roll instead of redoing
+        # the T-wide chol-of-Gram. roll[-1] lands Up[0] (triangular,
+        # nonsingular junk), overwritten by the boundary fixup.
+        Pp_sqrt = jnp.roll(filtered.Pp, -1, axis=0)
+    else:
+        Pp_sqrt = tria_sum(AU, Qs_next)
     AP = bmm(AU, Us, tb=True)  # A P
     Gt = _solve_tri(
         jnp.swapaxes(Pp_sqrt, -1, -2), _solve_tri(Pp_sqrt, AP), lower=False
@@ -347,6 +400,7 @@ def parallel_sqrt_rts_smoother(
     flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
     if chunk_size is None or chunk_size >= T:
         scanned = jax.lax.associative_scan(_sqrt_smoothing_operator, flipped)
+        gs, Ds = scanned.g, scanned.D
     else:
         assert T % chunk_size == 0
         n_chunks = T // chunk_size
@@ -355,31 +409,32 @@ def parallel_sqrt_rts_smoother(
         )
 
         def chunk_step(carry, chunk_elems):
-            from .parallel_kalman import _inner_scan
+            from .parallel_kalman import _inner_scan_ex
 
             dd, dt = chunk_elems.E.shape[-1], chunk_elems.E.dtype
-            inner = _inner_scan(
+            # carry folds into the block-totals pass (init=), replacing the
+            # former extra full-width combine per chunk
+            (g_c, D_c), last = _inner_scan_ex(
                 _sqrt_smoothing_operator, chunk_elems,
                 ident=_SqrtSmootherElems(
                     E=jnp.eye(dd, dtype=dt), g=jnp.zeros((dd,), dt),
                     D=jnp.zeros((dd, dd), dt),
                 ),
+                final_op=_sqrt_smoothing_final,
+                project=_project_sqrt_smoother_moments,
+                init=carry,
             )
-            combined = _sqrt_smoothing_operator(
-                jax.tree_util.tree_map(lambda x: x[None], carry), inner
-            )
-            last = jax.tree_util.tree_map(lambda x: x[-1], combined)
-            return last, combined
+            return last, (g_c, D_c)
 
         init = _SqrtSmootherElems(
             E=jnp.eye(d, dtype=dtype),
             g=jnp.zeros((d,), dtype),
             D=jnp.zeros((d, d), dtype),
         )
-        _, scanned = jax.lax.scan(chunk_step, init, chunked)
-        scanned = jax.tree_util.tree_map(
-            lambda x: x.reshape((T,) + x.shape[2:]), scanned
-        )
-    scanned = jax.tree_util.tree_map(lambda x: x[::-1], scanned)
+        _, (gs, Ds) = jax.lax.scan(chunk_step, init, chunked)
+        gs = gs.reshape((T,) + gs.shape[2:])
+        Ds = Ds.reshape((T,) + Ds.shape[2:])
+    gs = gs[::-1]
+    Ds = Ds[::-1]
     # lag-one gains: E already carries [G_0..G_{T-2}, 0] after the fixup
-    return SmootherResult(ms=scanned.g, Ps=scanned.D, Gs=E)
+    return SmootherResult(ms=gs, Ps=Ds, Gs=E)

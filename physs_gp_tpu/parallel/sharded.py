@@ -224,7 +224,7 @@ def sharded_filter_smoother(
         # boundary filtered state entering this chip (for per-step lml)
         m_in = jnp.where(idx == 0, m0_, prefix.b)
         P_in = jnp.where(idx == 0, P0_, symmetrize(prefix.C))
-        lmls_l = _per_step_lml(
+        lmls_l, _ = _per_step_lml(
             A_l, Q_l, H_l, R_l, y_l, mask_l, ms_l, m_in, P_in, Ps_l
         )
 
@@ -428,7 +428,7 @@ def sharded_sqrt_filter_smoother(
 
         m_in = jnp.where(idx == 0, m0_, prefix.b)
         U_in = jnp.where(idx == 0, U0_, prefix.U)
-        lmls_l = _per_step_lml_sqrt(
+        lmls_l, _ = _per_step_lml_sqrt(
             A_l, Qs_l, H_l, Rs_l, y_l, mask_l, ms_l, m_in, U_in, Us_l
         )
 

@@ -105,6 +105,15 @@ def test_kron_mv():
     )
 
 
+def test_kron_lift_matches_dense_kron():
+    rng = np.random.default_rng(3)
+    B = jnp.asarray(rng.normal(size=(4, 4)))
+    C = jnp.asarray(rng.normal(size=(7, 3, 3)))
+    got = M.kron_lift(B, C)
+    want = np.stack([np.kron(np.asarray(B), np.asarray(Ct)) for Ct in C])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
 def test_lyapunov_solve():
     F = jnp.array([[0.0, 1.0], [-3.0, -2.0]])
     Qf = jnp.array([[0.0, 0.0], [0.0, 4.0]])

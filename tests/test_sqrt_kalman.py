@@ -53,6 +53,25 @@ def test_sqrt_chunked_equals_unchunked():
     np.testing.assert_allclose(p1.var, p2.var, rtol=1e-7)
 
 
+def test_sqrt_blocked_schedule_matches_sequential(monkeypatch):
+    """Chunked sqrt scans under the TPU-default blocked schedule (reduced
+    distribute combine + carry folded into the block totals) == the
+    sequential sqrt filter, exercised on CPU via PHYSS_INNER_SCAN."""
+    m_seq = make_model(T=96, parallel=False, sqrt=True)
+    lml_seq = m_seq.log_marginal_likelihood()
+    p_seq = m_seq.posterior()
+
+    monkeypatch.setenv("PHYSS_INNER_SCAN", "blocked")
+    monkeypatch.setenv("PHYSS_SCAN_BLOCKS", "8")  # force multi-block totals
+    m_blk = make_model(T=96, parallel=True, sqrt=True, chunk_size=32)
+    np.testing.assert_allclose(
+        m_blk.log_marginal_likelihood(), lml_seq, rtol=1e-9
+    )
+    p_blk = m_blk.posterior()
+    np.testing.assert_allclose(p_blk.mean, p_seq.mean, rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(p_blk.var, p_seq.var, rtol=1e-6, atol=1e-11)
+
+
 @pytest.mark.parametrize("parallel", [False, True])
 @pytest.mark.slow
 def test_sqrt_gradients_match_covariance(parallel):
