@@ -32,7 +32,11 @@ from .kalman import FilterResult, SmootherResult, observation_mask
 from .matrix import bmm, highest_precision
 from .sqrt_kalman import _sqrt_update, tria, tria_sum
 
-__all__ = ["parallel_sqrt_kalman_filter", "parallel_sqrt_rts_smoother"]
+__all__ = [
+    "parallel_sqrt_kalman_filter",
+    "parallel_sqrt_rts_smoother",
+    "sqrt_smoother_elements",
+]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -349,6 +353,35 @@ def _project_sqrt_smoother_moments(e: _SqrtSmootherElems):
     return e.g, e.D
 
 
+def sqrt_smoother_elements(A_next, Qs_next, ms, Us, Pp_sqrt=None):
+    """Joseph-form sqrt smoothing elements (G, g, Y22) at FULL length.
+
+    All [p|d]-row lane ops (the historical [[A U, Qs], [U, 0]] 2d-row joint
+    pre-array tria falls off the Pallas LQ gate onto XLA's batched QR and
+    its [T, 2d, 2d+reg] transpose OOMs HBM at T = 100k):
+      Pp^1/2 = tria_sum(A U, Qs)        chol-of-Gram (covariance-side)
+      G      = P A^T Pp^-1              two triangular solves
+      Y22    = tria_sum((I-GA) U, G Qs) JOSEPH smoother factor, exact:
+               W P W^T + G Q G^T = P - G Pp G^T for W = I - G A
+
+    Inputs are the k -> k+1 rolled (A, Qs): entry [-1] pairs wrap-around
+    junk — callers overwrite it with their boundary element. `Pp_sqrt`
+    optionally supplies the predicted factors (the filters' lml pass
+    already built them; see FilterResult.Pp)."""
+    AU = bmm(A_next, Us)
+    if Pp_sqrt is None:
+        Pp_sqrt = tria_sum(AU, Qs_next)
+    AP = bmm(AU, Us, tb=True)  # A P
+    Gt = _solve_tri(
+        jnp.swapaxes(Pp_sqrt, -1, -2), _solve_tri(Pp_sqrt, AP), lower=False
+    )  # Pp^-1 A P
+    G = jnp.swapaxes(Gt, -1, -2)
+    Y22 = tria_sum(Us - bmm(G, AU), bmm(G, Qs_next))
+    m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
+    g = ms - jnp.einsum("tij,tj->ti", G, m_pred)
+    return G, g, Y22
+
+
 @highest_precision
 def parallel_sqrt_rts_smoother(
     A, Q_sqrt, filtered: FilterResult, chunk_size: int | None = None
@@ -365,30 +398,14 @@ def parallel_sqrt_rts_smoother(
     # roll[-1] pairs A[0] = I, Qs[0] = 0 with Us[-1]: well-conditioned junk.
     A_next = jnp.roll(A, -1, axis=0)
     Qs_next = jnp.roll(Q_sqrt, -1, axis=0)
-    # All [d]-row lane ops (the historical [[A U, Qs], [U, 0]] 2d-row joint
-    # pre-array tria falls off the Pallas LQ gate onto XLA's batched QR and
-    # its [T, 2d, 2d+reg] transpose OOMs HBM at T = 100k):
-    #   Pp^1/2 = tria_sum(A U, Qs)        chol-of-Gram (covariance-side)
-    #   G      = P A^T Pp^-1              two triangular solves
-    #   Y22    = tria_sum((I-GA) U, G Qs) JOSEPH smoother factor, exact:
-    #            W P W^T + G Q G^T = P - G Pp G^T for W = I - G A
-    AU = bmm(A_next, Us)
-    if filtered.Pp is not None:
-        # the filter's lml pass already built Up[t] = P_{t|t-1}^{1/2};
-        # the smoother's Pp_sqrt[t] is Up[t+1] — roll instead of redoing
-        # the T-wide chol-of-Gram. roll[-1] lands Up[0] (triangular,
-        # nonsingular junk), overwritten by the boundary fixup.
-        Pp_sqrt = jnp.roll(filtered.Pp, -1, axis=0)
-    else:
-        Pp_sqrt = tria_sum(AU, Qs_next)
-    AP = bmm(AU, Us, tb=True)  # A P
-    Gt = _solve_tri(
-        jnp.swapaxes(Pp_sqrt, -1, -2), _solve_tri(Pp_sqrt, AP), lower=False
-    )  # Pp^-1 A P
-    G = jnp.swapaxes(Gt, -1, -2)
-    Y22 = tria_sum(Us - bmm(G, AU), bmm(G, Qs_next))
-    m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
-    g = ms - jnp.einsum("tij,tj->ti", G, m_pred)
+    # the filter's lml pass already built Up[t] = P_{t|t-1}^{1/2}; the
+    # smoother's Pp_sqrt[t] is Up[t+1] — roll instead of redoing the
+    # T-wide chol-of-Gram. roll[-1] lands Up[0] (triangular, nonsingular
+    # junk), overwritten by the boundary fixup.
+    Pp_sqrt = (
+        jnp.roll(filtered.Pp, -1, axis=0) if filtered.Pp is not None else None
+    )
+    G, g, Y22 = sqrt_smoother_elements(A_next, Qs_next, ms, Us, Pp_sqrt)
 
     E = G.at[-1].set(jnp.zeros((d, d), dtype))
     g = g.at[-1].set(ms[-1])

@@ -224,13 +224,15 @@ def sharded_filter_smoother(
         # boundary filtered state entering this chip (for per-step lml)
         m_in = jnp.where(idx == 0, m0_, prefix.b)
         P_in = jnp.where(idx == 0, P0_, symmetrize(prefix.C))
-        lmls_l, _ = _per_step_lml(
+        lmls_l, Pp_l = _per_step_lml(
             A_l, Q_l, H_l, R_l, y_l, mask_l, ms_l, m_in, P_in, Ps_l
         )
 
         # --- smoothing elements + suffix exchange ---
+        # reuse the lml pass's predicted covariances (shifted by one; the
+        # rolled [-1] junk is overwritten by the boundary element below)
         E_l, g_l, L_l = _smoother_elements_interior(
-            A_l, Q_l, ms_l, Ps_l
+            A_l, Q_l, ms_l, Ps_l, P_pred=jnp.roll(Pp_l, -1, axis=0)
         )
         # chip boundary: the element for this chip's LAST step uses the next
         # chip's first (A, Q) and filtered state; exchange A,Q,m,P across the
@@ -281,16 +283,19 @@ def sharded_filter_smoother(
     return filt, smooth
 
 
-def _smoother_elements_interior(A_l, Q_l, ms_l, Ps_l):
+def _smoother_elements_interior(A_l, Q_l, ms_l, Ps_l, P_pred=None):
     """Smoothing elements for local steps, FULL length n: the k -> k+1 shift
     is a jnp.roll (offset slices A_l[1:]/Ps_l[:-1] fused into the batched
     solve hit a 16x-slower XLA-TPU path — see
     ops/parallel_kalman.parallel_rts_smoother). Element n-1 is junk (rolled
-    wrap-around) and must be overwritten by the caller's boundary element."""
+    wrap-around) and must be overwritten by the caller's boundary element.
+    `P_pred` optionally supplies the shifted predicted covariances the lml
+    pass already built (FilterResult.Pp convention, rolled by the caller)."""
     A_next = jnp.roll(A_l, -1, axis=0)
-    Q_next = jnp.roll(Q_l, -1, axis=0)
     m_pred = jnp.einsum("tij,tj->ti", A_next, ms_l)
-    P_pred = jnp.einsum("tij,tjk,tlk->til", A_next, Ps_l, A_next) + Q_next
+    if P_pred is None:
+        Q_next = jnp.roll(Q_l, -1, axis=0)
+        P_pred = jnp.einsum("tij,tjk,tlk->til", A_next, Ps_l, A_next) + Q_next
     Lp = safe_cholesky(P_pred)
     E = jnp.swapaxes(
         cholesky_solve(Lp, jnp.einsum("tij,tjk->tik", A_next, Ps_l)), -1, -2
@@ -318,34 +323,20 @@ def _smoother_boundary_element(A_next0, Q_next0, m_last, P_last):
 # ---------------------------------------------------------------------------
 
 
-def _sqrt_smoother_elements_interior(A_l, Qs_l, ms_l, Us_l):
+def _sqrt_smoother_elements_interior(A_l, Qs_l, ms_l, Us_l, Pp_sqrt=None):
     """Sqrt smoothing elements for local steps, FULL length n via jnp.roll
     (same 16x offset-slice pathology as the covariance form — see
-    _smoother_elements_interior); element n-1 is junk the caller overwrites."""
-    n, d = ms_l.shape
-    dtype = Us_l.dtype
+    _smoother_elements_interior); element n-1 is junk the caller overwrites.
+
+    Joseph-form build (ops.parallel_sqrt_kalman.sqrt_smoother_elements):
+    the old [[A U, Qs], [U, 0]] 2d-row joint pre-array tria falls off the
+    d<=48 Pallas LQ gate onto XLA's ~20 us/matrix batched QR. `Pp_sqrt`
+    optionally supplies the lml pass's predicted factors (already rolled)."""
+    from ..ops.parallel_sqrt_kalman import sqrt_smoother_elements
+
     A_next = jnp.roll(A_l, -1, axis=0)
     Qs_next = jnp.roll(Qs_l, -1, axis=0)
-    pre = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [jnp.einsum("tij,tjk->tik", A_next, Us_l), Qs_next], axis=-1
-            ),
-            jnp.concatenate([Us_l, jnp.zeros((n, d, d), dtype)], axis=-1),
-        ],
-        axis=-2,
-    )
-    Tm = tria(pre)
-    Pp_sqrt, GP, Y22 = Tm[:, :d, :d], Tm[:, d:, :d], Tm[:, d:, d:]
-    G = jnp.swapaxes(
-        _solve_tri(
-            jnp.swapaxes(Pp_sqrt, -1, -2), jnp.swapaxes(GP, -1, -2),
-            lower=False,
-        ),
-        -1, -2,
-    )
-    g = ms_l - jnp.einsum("tij,tj->ti", G, jnp.einsum("tij,tj->ti", A_next, ms_l))
-    return G, g, Y22
+    return sqrt_smoother_elements(A_next, Qs_next, ms_l, Us_l, Pp_sqrt)
 
 
 def _sqrt_smoother_boundary_element(A_next0, Qs_next0, m_last, U_last):
@@ -428,13 +419,15 @@ def sharded_sqrt_filter_smoother(
 
         m_in = jnp.where(idx == 0, m0_, prefix.b)
         U_in = jnp.where(idx == 0, U0_, prefix.U)
-        lmls_l, _ = _per_step_lml_sqrt(
+        lmls_l, Up_l = _per_step_lml_sqrt(
             A_l, Qs_l, H_l, Rs_l, y_l, mask_l, ms_l, m_in, U_in, Us_l
         )
 
         # --- sqrt smoothing elements + suffix exchange ---
+        # reuse the lml pass's predicted factors (shifted by one; the
+        # rolled [-1] junk is overwritten by the boundary element below)
         E_l, g_l, D_l = _sqrt_smoother_elements_interior(
-            A_l, Qs_l, ms_l, Us_l
+            A_l, Qs_l, ms_l, Us_l, Pp_sqrt=jnp.roll(Up_l, -1, axis=0)
         )
         nbr = {axis: [(i, (i - 1) % n_dev) for i in range(n_dev)]}
         A_next0 = jax.lax.ppermute(A_l[0], axis, nbr[axis])
