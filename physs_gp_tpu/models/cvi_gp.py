@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..approx.cvi import Sites, init_sites, natgrad_update
 from ..likelihoods.gaussian import BlockDiagonalGaussian
 from ..likelihoods.nongaussian import expected_log_lik
-from ..ops.gaussian import mask_covariance, masked_mvn_logpdf
+from ..ops.gaussian import mask_covariance
 from ..ops.lgssm import (
     build_lgssm,
     project_cov,
@@ -30,14 +30,7 @@ from ..ops.lgssm import (
     project_mean,
 )
 from ..ops.runner import run_filter_smoother
-from ..ops.matrix import (
-    cholesky_solve,
-    diag_from_XDXT,
-    log_det_from_chol,
-    psd_solve,
-    safe_cholesky,
-    solve_lower,
-)
+from ..ops.matrix import psd_solve_logdet
 from ..utils.struct import module, replace, static
 from .ssgp import GaussianMoments
 
@@ -157,14 +150,24 @@ class CVIGP:
         active and others are not contributes exactly its active sub-block —
         matching the filters' per-element masking, so every term the surrogate
         lml counts is also counted here (ragged multi-head models were biased
-        by the old all-or-nothing row mask)."""
+        by the old all-or-nothing row mask).
+
+        One fused inverse+logdet pass serves the logpdf's Mahalanobis term,
+        its logdet AND the trace term (they used to run two separate Pallas
+        solve passes over the [T, p, p] blocks — the T-wide solves are the
+        whole cost here; the remaining contractions are elementwise)."""
         ok = jnp.isfinite(self.sites.Y).astype(m.dtype)  # [T, p]
-        logpdf = masked_mvn_logpdf(self.sites.Y, m * ok, self.sites.V, ok)
-        # trace term over the active sub-block: mask V (unit diag on inactive)
-        # and zero S's inactive rows/cols.
+        T, p = m.shape
         Vm = mask_covariance(self.sites.V, ok)
+        eye = jnp.broadcast_to(jnp.eye(p, dtype=m.dtype), Vm.shape)
+        Vinv, logdet = psd_solve_logdet(Vm, eye)
+        diff = jnp.where(ok > 0, jnp.nan_to_num(self.sites.Y) - m, 0.0)
+        maha = jnp.einsum("ti,tij,tj->t", diff, Vinv, diff)
+        n_obs = jnp.sum(ok, -1)
+        logpdf = -0.5 * (maha + logdet + n_obs * _LOG2PI)
+        # trace over the active sub-block: tr(Vm^-1 Sm) elementwise
         Sm = S * (ok[..., :, None] * ok[..., None, :])
-        tr = jnp.trace(psd_solve(Vm, Sm), axis1=-2, axis2=-1)
+        tr = jnp.sum(Vinv * Sm, (-1, -2))
         return jnp.sum(logpdf) - 0.5 * jnp.sum(tr)
 
     # ---- public API ----

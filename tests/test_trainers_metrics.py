@@ -92,3 +92,48 @@ def test_checkpoint_roundtrip():
         bad = dataclasses.replace(_model(), parallel=True)
         with pytest.raises(ValueError):
             load_model(path, bad)
+
+
+def test_cvi_ell_sites_matches_dense_oracle():
+    """_ell_sites' fused inverse+logdet form == naive per-step active-block
+    computation (scipy logpdf + explicit inverse trace), incl. NaN sites."""
+    from scipy.stats import multivariate_normal
+
+    rng = np.random.default_rng(5)
+    T, p = 9, 3
+    t = np.sort(rng.uniform(0, 3, T))
+    Y = rng.normal(size=(T, p))
+    Y[2, 1] = np.nan  # inactive site element
+    Y[6, 0] = np.nan
+    m_q = rng.normal(size=(T, p))
+    S_half = rng.normal(size=(T, p, p)) * 0.3
+    S_q = S_half @ np.swapaxes(S_half, -1, -2) + 0.5 * np.eye(p)
+    V_half = rng.normal(size=(T, p, p)) * 0.2
+    V = V_half @ np.swapaxes(V_half, -1, -2) + 0.8 * np.eye(p)
+
+    model = CVIGP.init(
+        jnp.asarray(t), jnp.asarray(Y),
+        Matern32(lengthscale=1.0, variance=1.0),
+        Gaussian(positive_param(0.1)),
+    )
+    sites = model.sites
+    sites = type(sites)(Y=jnp.where(jnp.isfinite(sites.Y), jnp.asarray(Y),
+                                    jnp.nan), V=jnp.asarray(V))
+    model = jax.tree_util.tree_map(lambda x: x, model)  # copy
+    import dataclasses
+
+    model = dataclasses.replace(model, sites=sites)
+
+    got = float(model._ell_sites(jnp.asarray(m_q), jnp.asarray(S_q)))
+
+    want = 0.0
+    for k in range(T):
+        ok = np.isfinite(Y[k])
+        if not ok.any():
+            continue
+        Vk = V[k][np.ix_(ok, ok)]
+        want += multivariate_normal.logpdf(Y[k][ok], m_q[k][ok], Vk)
+        want += -0.5 * np.trace(
+            np.linalg.solve(Vk, S_q[k][np.ix_(ok, ok)])
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-8)
