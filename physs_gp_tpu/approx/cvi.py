@@ -101,6 +101,7 @@ def natgrad_update(
     ell_fn,  # (m, S) -> scalar sum ELL
     lr: float,
     grads=None,  # optional precomputed (g1, g2), e.g. Gauss-Newton g2
+    naturals=None,  # optional precomputed to_natural(sites)
 ) -> Sites:
     """One CVI natural-gradient step on all sites jointly.
 
@@ -110,13 +111,16 @@ def natgrad_update(
     Laplace-GN Hessian approximations (ref
     `natural_gradients/cvi_hessian_approximations.py:85-634`) whose g2 is
     negative-semidefinite by construction.
+    `naturals` overrides `to_natural(sites)` — the single-pass CVI step
+    already inverted the site blocks for the ELBO's site-ELL term and
+    passes (λ1, λ2) here instead of re-inverting [T, p, p].
     """
     if grads is None:
         g1, g2 = jax.grad(ell_fn, argnums=(0, 1))(m, S)
     else:
         g1, g2 = grads
     g2 = symmetrize(g2)
-    lam1, lam2 = to_natural(sites)
+    lam1, lam2 = naturals if naturals is not None else to_natural(sites)
     lam1_new = (1.0 - lr) * lam1 + lr * (
         g1 - 2.0 * jnp.einsum("tij,tj->ti", g2, m)
     )

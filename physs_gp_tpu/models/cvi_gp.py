@@ -156,19 +156,34 @@ class CVIGP:
         its logdet AND the trace term (they used to run two separate Pallas
         solve passes over the [T, p, p] blocks — the T-wide solves are the
         whole cost here; the remaining contractions are elementwise)."""
+        return self._ell_sites_ex(m, S)[0]
+
+    def _ell_sites_ex(self, m, S):
+        """(_ell_sites value, (λ1, λ2)) — the site inverse computed for the
+        ELL doubles as the natural parameters `natgrad_update` needs, so the
+        single-pass CVI step skips `to_natural`'s own [T, p, p] inversion.
+
+        λ from the MASKED inverse pins inactive (NaN-site) elements at unit
+        precision instead of tracking their decayed raw value — immaterial:
+        inactive site rows are decoupled (their ELL gradients are zero) and
+        the filter masks them out of every result."""
         ok = jnp.isfinite(self.sites.Y).astype(m.dtype)  # [T, p]
         T, p = m.shape
         Vm = mask_covariance(self.sites.V, ok)
         eye = jnp.broadcast_to(jnp.eye(p, dtype=m.dtype), Vm.shape)
         Vinv, logdet = psd_solve_logdet(Vm, eye)
-        diff = jnp.where(ok > 0, jnp.nan_to_num(self.sites.Y) - m, 0.0)
+        y0 = jnp.where(ok > 0, jnp.nan_to_num(self.sites.Y), 0.0)
+        diff = y0 - m * ok
         maha = jnp.einsum("ti,tij,tj->t", diff, Vinv, diff)
         n_obs = jnp.sum(ok, -1)
         logpdf = -0.5 * (maha + logdet + n_obs * _LOG2PI)
         # trace over the active sub-block: tr(Vm^-1 Sm) elementwise
         Sm = S * (ok[..., :, None] * ok[..., None, :])
         tr = jnp.sum(Vinv * Sm, (-1, -2))
-        return jnp.sum(logpdf) - 0.5 * jnp.sum(tr)
+        value = jnp.sum(logpdf) - 0.5 * jnp.sum(tr)
+        lam1 = jnp.einsum("tij,tj->ti", Vinv, y0)
+        lam2 = -0.5 * Vinv
+        return value, (lam1, lam2)
 
     # ---- public API ----
     def elbo(self, key=None) -> jnp.ndarray:
@@ -210,10 +225,12 @@ class CVIGP:
         Pass a fresh `key` per iteration for unbiased stochastic (MC) ELLs;
         the reported ELBO and the site gradients share the same samples."""
         lml_sur, m, S = self._surrogate_pass()
-        elbo = self._ell_data(m, S, key=key) - self._ell_sites(m, S) + lml_sur
+        ell_sites, naturals = self._ell_sites_ex(m, S)
+        elbo = self._ell_data(m, S, key=key) - ell_sites + lml_sur
         new_sites = natgrad_update(
             self.sites, m, S, lambda mm, SS: self._ell_data(mm, SS, key=key),
             lr, grads=self._site_grads(m, S, hessian, key=key),
+            naturals=naturals,
         )
         return replace(self, sites=new_sites), elbo
 

@@ -40,8 +40,10 @@ from ..ops.parallel_kalman import (
     _FilterElems,
     _SmootherElems,
     _build_filter_elements,
+    _filtering_final,
     _filtering_operator,
     _per_step_lml,
+    _smoothing_final,
     _smoothing_operator,
 )
 from ..ops.parallel_sqrt_kalman import (
@@ -50,7 +52,9 @@ from ..ops.parallel_sqrt_kalman import (
     _build_sqrt_elements,
     _per_step_lml_sqrt,
     _solve_tri,
+    _sqrt_filtering_final,
     _sqrt_filtering_operator,
+    _sqrt_smoothing_final,
     _sqrt_smoothing_operator,
 )
 
@@ -103,12 +107,12 @@ def _chunked_inclusive_scan(op, elems, chunk_size, ident):
         lambda x: x.reshape((n, chunk_size) + x.shape[1:]), elems
     )
 
-    from ..ops.parallel_kalman import _inner_scan
+    from ..ops.parallel_kalman import _inner_scan_ex
 
     def step(carry, chunk):
-        inner = _inner_scan(op, chunk, ident=ident)
-        combined = op(jax.tree_util.tree_map(lambda x: x[None], carry), inner)
-        last = jax.tree_util.tree_map(lambda x: x[-1], combined)
+        # inter-chunk carry folds into the scan's block-totals pass (init=)
+        # instead of an extra full-width combine per chunk
+        combined, last = _inner_scan_ex(op, chunk, ident=ident, init=carry)
         return last, combined
 
     _, out = jax.lax.scan(step, ident, chunked)
@@ -216,10 +220,11 @@ def sharded_filter_smoother(
         prefix = _exclusive_prefix(
             totals, idx, n_dev, ident, _filtering_operator, axis
         )
-        combined = _filtering_operator(
+        # reduced distribute combine: only the filtered moments feed on
+        b_l, C_l = _filtering_final(
             jax.tree_util.tree_map(lambda x: x[None], prefix), local
         )
-        ms_l, Ps_l = combined.b, symmetrize(combined.C)
+        ms_l, Ps_l = b_l, symmetrize(C_l)
 
         # boundary filtered state entering this chip (for per-step lml)
         m_in = jnp.where(idx == 0, m0_, prefix.b)
@@ -271,10 +276,10 @@ def sharded_filter_smoother(
         suffix = _exclusive_suffix(
             stotals, idx, n_dev, sident, _smoothing_operator, axis
         )
-        scombined = _smoothing_operator(
+        sg_l, sL_l = _smoothing_final(
             jax.tree_util.tree_map(lambda x: x[None], suffix), slocal
         )
-        return ms_l, Ps_l, lmls_l, scombined.g, symmetrize(scombined.L), E
+        return ms_l, Ps_l, lmls_l, sg_l, symmetrize(sL_l), E
 
     y_mask = jnp.stack([jnp.nan_to_num(y) * mask, mask], axis=-1)
     ms, Ps, lmls, sms, sPs, Gs = run(A, Q, H, R, y_mask, m0, P0)
@@ -412,10 +417,10 @@ def sharded_sqrt_filter_smoother(
         prefix = _exclusive_prefix(
             totals, idx, n_dev, ident, _sqrt_filtering_operator, axis
         )
-        combined = _sqrt_filtering_operator(
+        # reduced distribute combine: only the filtered moments feed on
+        ms_l, Us_l = _sqrt_filtering_final(
             jax.tree_util.tree_map(lambda x: x[None], prefix), local
         )
-        ms_l, Us_l = combined.b, combined.U
 
         m_in = jnp.where(idx == 0, m0_, prefix.b)
         U_in = jnp.where(idx == 0, U0_, prefix.U)
@@ -458,14 +463,14 @@ def sharded_sqrt_filter_smoother(
         suffix = _exclusive_suffix(
             stotals, idx, n_dev, sident, _sqrt_smoothing_operator, axis
         )
-        scombined = _sqrt_smoothing_operator(
+        sg_l, sD_l = _sqrt_smoothing_final(
             jax.tree_util.tree_map(lambda x: x[None], suffix), slocal
         )
         # square the factors at the boundary (outputs are covariances); the
         # smoothed factor itself also ships out for PSD head projections
         Ps_l = jnp.einsum("tij,tkj->tik", Us_l, Us_l)
-        sPs_l = jnp.einsum("tij,tkj->tik", scombined.D, scombined.D)
-        return ms_l, Ps_l, lmls_l, scombined.g, sPs_l, scombined.D, E
+        sPs_l = jnp.einsum("tij,tkj->tik", sD_l, sD_l)
+        return ms_l, Ps_l, lmls_l, sg_l, sPs_l, sD_l, E
 
     y_mask = jnp.stack([jnp.nan_to_num(y) * mask, mask], axis=-1)
     ms, Ps, lmls, sms, sPs, sLs, Gs = run(
