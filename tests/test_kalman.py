@@ -146,6 +146,31 @@ def test_chunked_parallel_equals_unchunked():
     np.testing.assert_allclose(pf.var, pc.var, rtol=1e-8)
 
 
+def test_blocked_schedule_matches_sequential(monkeypatch):
+    """Chunked covariance-form scans under the TPU-default blocked schedule
+    (reduced distribute combine + carry folded into the block totals) == the
+    sequential filter, exercised on CPU via PHYSS_INNER_SCAN (mirrors the
+    sqrt-path gate in test_sqrt_kalman.py)."""
+    t, y = make_data(T=96, seed=3)
+    kern = Matern32(lengthscale=0.5)
+    lik = Gaussian(positive_param(0.1))
+    m_seq = StateSpaceGP(t=t, Y=y, kernel=kern, likelihood=lik, parallel=False)
+    lml_seq = m_seq.log_marginal_likelihood()
+    p_seq = m_seq.posterior()
+
+    monkeypatch.setenv("PHYSS_INNER_SCAN", "blocked")
+    monkeypatch.setenv("PHYSS_SCAN_BLOCKS", "8")  # force multi-block totals
+    m_blk = StateSpaceGP(
+        t=t, Y=y, kernel=kern, likelihood=lik, parallel=True, chunk_size=32
+    )
+    np.testing.assert_allclose(
+        m_blk.log_marginal_likelihood(), lml_seq, rtol=1e-9
+    )
+    p_blk = m_blk.posterior()
+    np.testing.assert_allclose(p_blk.mean, p_seq.mean, rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(p_blk.var, p_seq.var, rtol=1e-6, atol=1e-11)
+
+
 @pytest.mark.parametrize("parallel", [False, True])
 @pytest.mark.slow
 def test_gradients_match_dense(parallel):
