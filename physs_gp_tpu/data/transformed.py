@@ -15,7 +15,17 @@ import jax.numpy as jnp
 
 from ..utils.struct import module, static
 
-__all__ = ["LogTransform", "BoxCoxTransform", "AffineTransform", "TransformedData"]
+__all__ = [
+    "LogTransform",
+    "BoxCoxTransform",
+    "AffineTransform",
+    "ExpTransform",
+    "SoftplusTransform",
+    "SquareTransform",
+    "ReverseFlow",
+    "CompositeFlow",
+    "TransformedData",
+]
 
 
 class Flow:
@@ -74,6 +84,91 @@ class BoxCoxTransform(Flow):
 
     def log_det_jacobian(self, y):
         return (self.lam - 1.0) * jnp.log(y)
+
+
+@module
+class ExpTransform(Flow):
+    """Model z = exp(y) (ref `transforms/basic.py:63` Exp)."""
+
+    def forward(self, y):
+        return jnp.exp(y)
+
+    def inverse(self, z):
+        return jnp.log(z)
+
+    def log_det_jacobian(self, y):
+        return y
+
+
+@module
+class SoftplusTransform(Flow):
+    """Model z = log(1 + e^y) (ref `transforms/basic.py:96` Softplus; its
+    Softminus is `ReverseFlow(SoftplusTransform())`)."""
+
+    def forward(self, y):
+        return jax.nn.softplus(y)
+
+    def inverse(self, z):
+        # log(expm1(z)), stable for large z: z + log1p(-exp(-z))
+        return z + jnp.log(-jnp.expm1(-z))
+
+    def log_det_jacobian(self, y):
+        return jax.nn.log_sigmoid(y)
+
+
+@module
+class SquareTransform(Flow):
+    """Model z = y^2 on positive data (ref `transforms/basic.py:53` Square;
+    inverse takes the positive branch, as the reference does)."""
+
+    def forward(self, y):
+        return y * y
+
+    def inverse(self, z):
+        return jnp.sqrt(z)
+
+    def log_det_jacobian(self, y):
+        return jnp.log(2.0 * jnp.abs(y))
+
+
+@module
+class ReverseFlow(Flow):
+    """Swap a base flow's forward/inverse (ref `transforms/basic.py:41`);
+    the log-Jacobian comes from the generic autodiff fallback."""
+
+    base: object
+
+    def forward(self, y):
+        return self.base.inverse(y)
+
+    def inverse(self, z):
+        return self.base.forward(z)
+
+
+@module
+class CompositeFlow(Flow):
+    """Chain of flows applied left-to-right on forward (ref
+    `transforms/basic.py:10` CompositeTransform), with the exact chain-rule
+    log-Jacobian (sum of each flow's at its input)."""
+
+    flows: tuple
+
+    def forward(self, y):
+        for f in self.flows:
+            y = f.forward(y)
+        return y
+
+    def inverse(self, z):
+        for f in reversed(self.flows):
+            z = f.inverse(z)
+        return z
+
+    def log_det_jacobian(self, y):
+        total = jnp.zeros(jnp.shape(y), jnp.result_type(y))
+        for f in self.flows:
+            total = total + f.log_det_jacobian(y)
+            y = f.forward(y)
+        return total
 
 
 @module
