@@ -45,19 +45,28 @@ def use_fused_combine(shape, d_min: int = 8, d_max: int = 36) -> bool:
     92.8k steps/s vs 83.9k for this fully-fused kernel — once the inverse is
     off the XLA critical path, the MXU einsums beat the VPU lane-matmuls, so
     full fusion is a net loss. Kept (with CPU interpret tests) as the
-    building block for shapes where VPU fusion wins."""
+    building block for shapes where VPU fusion wins.
+
+    PHYSS_FUSED_NARROW=<B>: fuse only combines at batch <= B — the blocked
+    scans' intra/Sklansky stages run hundreds of sequential combines at
+    width 128-512 where per-op dispatch overhead (not FLOPs) dominates, so
+    one kernel per combine may win there while the one full-width
+    distribute combine stays on the measured-faster XLA+Pallas-inverse
+    path. Experimental knob, default off."""
     import os
 
     from .batched_linalg import _on_tpu_backend
 
-    if os.environ.get("PHYSS_FUSED_COMBINE", "0") != "1":
-        return False
-    return (
+    ok = (
         _on_tpu_backend()
         and len(shape) == 3
         and d_min <= shape[-1] <= d_max
         and shape[0] >= _LANES
     )
+    if os.environ.get("PHYSS_FUSED_COMBINE", "0") == "1":
+        return ok
+    narrow = int(os.environ.get("PHYSS_FUSED_NARROW", "0"))
+    return ok and narrow > 0 and shape[0] <= narrow
 
 
 def _mm(A, B, d):
