@@ -81,10 +81,27 @@ def run_filter(ssm, R, Y, *, parallel=False, sqrt=False, chunk_size=None):
     return _unpad(f, T), aux
 
 
+def _mask_decoupled_R(R, Y):
+    """Decouple missing-observation rows/cols of R BEFORE factoring.
+
+    The sqrt filters mask the observation-noise FACTOR per step
+    (`mask · R^1/2 · mask + (I - mask)`), which implies the masked
+    covariance only when missing rows are already decoupled in R — exact
+    for diagonal R, WRONG for dense R with a partially-missing step (the
+    masked factor's Gram drops cross terms the true masked covariance
+    keeps; caught by `tests/test_fuzz_kalman.py`). Factoring
+    `mask_covariance(R, mask)` instead makes the filters' per-step factor
+    masking idempotent and the implied covariance exact."""
+    from .gaussian import mask_covariance
+    from .kalman import observation_mask
+
+    return mask_covariance(R, observation_mask(Y, R.dtype))
+
+
 def _run_filter_raw(ssm, R, Y, *, parallel, sqrt, chunk_size):
     if sqrt:
         Q_sqrt = safe_cholesky_rel(ssm.Q)
-        R_sqrt = safe_cholesky_rel(R)
+        R_sqrt = safe_cholesky_rel(_mask_decoupled_R(R, Y))
         P0_sqrt = safe_cholesky_rel(ssm.P0)
         if parallel:
             f = parallel_sqrt_kalman.parallel_sqrt_kalman_filter(
@@ -152,7 +169,7 @@ def _run_sharded(ssm, R, Y, *, sqrt, chunk_size, mesh, mesh_axis):
         ssm, R, Y = _pad_inputs(ssm, R, Y, pad)
     if sqrt:
         Q_sqrt = safe_cholesky_rel(ssm.Q)
-        R_sqrt = safe_cholesky_rel(R)
+        R_sqrt = safe_cholesky_rel(_mask_decoupled_R(R, Y))
         P0_sqrt = safe_cholesky_rel(ssm.P0)
         f, s = _sharded.sharded_sqrt_filter_smoother(
             ssm.A, Q_sqrt, ssm.H, R_sqrt, Y, ssm.m0, P0_sqrt, mesh=mesh,
