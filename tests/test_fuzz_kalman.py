@@ -84,3 +84,30 @@ def test_blocked_schedule_fuzz(monkeypatch, sqrt):
     np.testing.assert_allclose(float(f.lml), float(f_ref.lml), rtol=1e-8)
     np.testing.assert_allclose(s.ms, s_ref.ms, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(s.Ps, s_ref.Ps, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sqrt", [False, True])
+def test_gradient_matches_sequential_oracle(sqrt):
+    """d lml / d(inputs) of the chunked parallel pass == the sequential
+    oracle's, on a random dense-R, time-varying-H model with NaN patterns."""
+    ssm, R, y = _random_lgssm(11, 24, 3, 2, tv_H=True)
+
+    def lml_seq(Q, R):
+        return kalman_filter(ssm.A, Q, ssm.H, R, y, ssm.m0, ssm.P0).lml
+
+    def lml_par(Q, R):
+        f, _ = run_filter_smoother(
+            ssm._replace(Q=Q), R, y, parallel=True, sqrt=sqrt, chunk_size=8
+        )
+        return f.lml
+
+    gq_s, gr_s = jax.grad(lml_seq, argnums=(0, 1))(ssm.Q, R)
+    gq_p, gr_p = jax.grad(lml_par, argnums=(0, 1))(ssm.Q, R)
+    # compare the SYMMETRIC part only: Q/R are covariances, and the
+    # asymmetric component of d lml/dQ is gauge (the paths symmetrize at
+    # different points, so it differs while every directional derivative
+    # along symmetric perturbations agrees)
+    sym = lambda G: 0.5 * (G + jnp.swapaxes(G, -1, -2))
+    np.testing.assert_allclose(sym(gq_p), sym(gq_s), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(sym(gr_p), sym(gr_s), rtol=1e-6, atol=1e-9)
