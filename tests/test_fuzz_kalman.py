@@ -111,3 +111,26 @@ def test_gradient_matches_sequential_oracle(sqrt):
     sym = lambda G: 0.5 * (G + jnp.swapaxes(G, -1, -2))
     np.testing.assert_allclose(sym(gq_p), sym(gq_s), rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(sym(gr_p), sym(gr_s), rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("sqrt", [False, True])
+def test_sharded_matches_sequential_oracle(sqrt):
+    """Time-sharded mesh pass vs the sequential oracle on a random dense-R,
+    time-varying-H model with NaN patterns (the class of corner where the
+    sqrt noise-factor masking bug lived)."""
+    from jax.sharding import Mesh
+
+    ssm, R, y = _random_lgssm(13, 64, 3, 2, tv_H=True)
+    f_ref = kalman_filter(ssm.A, ssm.Q, ssm.H, R, y, ssm.m0, ssm.P0)
+    s_ref = rts_smoother(ssm.A, ssm.Q, f_ref)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("t",))
+    f, s = jax.jit(
+        lambda ssm, R, y: run_filter_smoother(
+            ssm, R, y, parallel=True, sqrt=sqrt, chunk_size=8, mesh=mesh
+        )
+    )(ssm, R, y)
+    np.testing.assert_allclose(float(f.lml), float(f_ref.lml), rtol=1e-8)
+    np.testing.assert_allclose(f.ms, f_ref.ms, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(s.ms, s_ref.ms, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(s.Ps, s_ref.Ps, rtol=1e-6, atol=1e-8)
