@@ -137,3 +137,43 @@ def test_cvi_ell_sites_matches_dense_oracle():
             np.linalg.solve(Vk, S_q[k][np.ix_(ok, ok)])
         )
     np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_multioutput_cvi_partial_nan_matches_exact():
+    """Multi-output Gaussian CVI with PARTIAL per-step NaN patterns: one
+    lr=1 step via step_with_elbo must reproduce the exact conjugate model
+    (elbo == lml, matching posterior) — gates the fused site-ELL + shared
+    naturals on the masked multi-output corner."""
+    from physs_gp_tpu.kernels import StackedMarkov
+    from physs_gp_tpu.likelihoods.gaussian import IndependentGaussian
+
+    rng = np.random.default_rng(4)
+    T, P = 24, 3
+    t = np.sort(rng.uniform(0, 3, T))
+    y = np.stack(
+        [np.sin(2 * t), np.cos(t), 0.5 * np.sin(3 * t)], axis=1
+    ) + 0.1 * rng.normal(size=(T, P))
+    y[3, 1] = np.nan
+    y[10, 0] = np.nan
+    y[10, 2] = np.nan
+    y[17] = np.nan  # fully-missing step
+    t, y = jnp.asarray(t), jnp.asarray(y)
+    kern = StackedMarkov(
+        parts=[Matern32(lengthscale=0.6, variance=1.0) for _ in range(P)]
+    )
+    noises = [0.05, 0.1, 0.2]
+    lik = IndependentGaussian(variances=[positive_param(v) for v in noises])
+
+    m = CVIGP.init(t, y, kern, lik)
+    m2, elbo0 = jax.jit(lambda mm: mm.step_with_elbo(1.0))(m)
+    _, elbo1 = m2.step_with_elbo(1.0)
+
+    exact = StateSpaceGP(t=t, Y=y, kernel=kern, likelihood=lik)
+    lml = exact.log_marginal_likelihood()
+    # at the conjugate fixed point (one lr=1 step) the ELBO is tight
+    np.testing.assert_allclose(float(elbo1), float(lml), rtol=1e-8)
+    post_cvi, post_ex = m2.posterior(), exact.posterior()
+    np.testing.assert_allclose(post_cvi.mean, post_ex.mean, rtol=1e-6,
+                               atol=1e-9)
+    np.testing.assert_allclose(post_cvi.var, post_ex.var, rtol=1e-6,
+                               atol=1e-9)
