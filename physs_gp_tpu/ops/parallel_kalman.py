@@ -276,11 +276,17 @@ def _inner_scan_ex(op, elems, ident=None, final_op=None, project=None,
     mode = os.environ.get("PHYSS_INNER_SCAN")
     if mode is None:
         mode = "blocked" if (_on_tpu_backend() and ident is not None) else "assoc"
-    if mode == "blocked" and ident is not None:
+    # legacy knob: PHYSS_PREFIX_COMBINE=1 forces the prefix schedule and
+    # takes precedence over the blocked TPU default (the measurements in
+    # the docstring were taken through it)
+    prefix = (
+        mode == "prefix" or os.environ.get("PHYSS_PREFIX_COMBINE", "0") == "1"
+    )
+    if not prefix and mode == "blocked" and ident is not None:
         return blocked_inclusive_scan(
             op, elems, ident, final_op=final_op, init=init
         )
-    if mode == "prefix" or os.environ.get("PHYSS_PREFIX_COMBINE", "0") == "1":
+    if prefix:
         n = jax.tree_util.tree_leaves(elems)[0].shape[0]
         full = prefix_combine(op, elems, n)
     else:
@@ -334,7 +340,11 @@ def _filtering_operator(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
     return _filtering_operator_xla(ei, ej)
 
 
-def _filtering_operator_xla(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
+def _filtering_moments(ei: _FilterElems, ej: _FilterElems):
+    """Shared core of the filtering combine: the Woodbury inverse and the
+    moment outputs (b, C), plus the intermediates (U, AjU) the full
+    operator's A/eta/J outputs build on — ONE implementation so the reduced
+    distribute combine cannot desynchronize from the scan operator."""
     # bmm: lane-batched Pallas matmul (95 ns/matrix vs XLA's 152 at d=32,
     # in-kernel transposes free); falls back to einsum off-TPU / broadcasting
     d = ei.A.shape[-1]
@@ -342,9 +352,18 @@ def _filtering_operator_xla(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
     ICJ = eye + bmm(ei.C, ej.J)
     U = _batched_inverse(ICJ)  # inv(I + C_i J_j)
     AjU = bmm(ej.A, U)
-    A = bmm(AjU, ei.A)
-    b = jnp.einsum("...ij,...j->...i", AjU, ei.b + jnp.einsum("...ij,...j->...i", ei.C, ej.eta)) + ej.b
+    b = jnp.einsum(
+        "...ij,...j->...i",
+        AjU,
+        ei.b + jnp.einsum("...ij,...j->...i", ei.C, ej.eta),
+    ) + ej.b
     C = symmetrize(bmm(bmm(AjU, ei.C), ej.A, tb=True) + ej.C)
+    return U, AjU, b, C
+
+
+def _filtering_operator_xla(ei: _FilterElems, ej: _FilterElems) -> _FilterElems:
+    U, AjU, b, C = _filtering_moments(ei, ej)
+    A = bmm(AjU, ei.A)
     # V = inv(I + J_j C_i) = U^T; with W = U A_i:
     #   eta = A_i^T V w + eta_i = W^T w + eta_i
     #   J   = A_i^T V J_j A_i + J_i = W^T J_j A_i + J_i
@@ -363,16 +382,7 @@ def _filtering_final(ei: _FilterElems, ej: _FilterElems):
     A/eta/J outputs are dead there, and skipping them drops 4 of the full
     combine's 8 batched matmuls (the combines are ~the whole filter cost at
     T = 100k, profile_c5f round 3)."""
-    d = ei.A.shape[-1]
-    eye = jnp.eye(d, dtype=ei.A.dtype)
-    U = _batched_inverse(eye + bmm(ei.C, ej.J))
-    AjU = bmm(ej.A, U)
-    b = jnp.einsum(
-        "...ij,...j->...i",
-        AjU,
-        ei.b + jnp.einsum("...ij,...j->...i", ei.C, ej.eta),
-    ) + ej.b
-    C = symmetrize(bmm(bmm(AjU, ei.C), ej.A, tb=True) + ej.C)
+    _, _, b, C = _filtering_moments(ei, ej)
     return b, C
 
 
@@ -477,9 +487,8 @@ def _smoothing_operator(ej: _SmootherElems, ei: _SmootherElems) -> _SmootherElem
 
 
 def _smoothing_operator_xla(ej: _SmootherElems, ei: _SmootherElems) -> _SmootherElems:
+    g, L = _smoothing_final(ej, ei)
     E = bmm(ei.E, ej.E)
-    g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
-    L = symmetrize(bmm(bmm(ei.E, ej.L), ei.E, tb=True) + ei.L)
     return _SmootherElems(E=E, g=g, L=L)
 
 

@@ -157,9 +157,12 @@ def _broadcast_batch(e1, e2):
     )
 
 
-def _sqrt_filtering_operator(e1, e2):
-    """Associative combine in square-root form (e1 earlier, e2 later)."""
-    e1, e2 = _broadcast_batch(e1, e2)
+def _sqrt_filtering_moments(e1, e2):
+    """Shared core of the sqrt filtering combine: the Woodbury factors and
+    the moment outputs (b, U), plus the intermediates (G, Xi, W1, XiG,
+    A2W1) the full operator's A/eta/Z outputs build on — ONE implementation
+    so the reduced distribute combine cannot desynchronize from the scan
+    operator. Inputs must already be batch-broadcast."""
     d = e1.A.shape[-1]
     dtype = e1.A.dtype
     eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
@@ -168,33 +171,39 @@ def _sqrt_filtering_operator(e1, e2):
     # ||G||^2 > 1/eps spreads — see ops/pallas/batched_chol.py); [G, I] has
     # full row rank, so the regularisation block is skipped
     Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
-    Lam = tria(jnp.concatenate([jnp.swapaxes(G, -1, -2), eye], axis=-1),
-               assume_full_rank=True)
     # W1 = U1 Xi^-T  (right-solve)
     W1 = jnp.swapaxes(
         _solve_tri(Xi, jnp.swapaxes(e1.U, -1, -2), lower=True), -1, -2
     )
+    XiG = _solve_tri(Xi, G)
+    A2W1 = bmm(e2.A, W1)
+    # b = b2 + A2 (u - W1 Xi^-1 G Z2^T u),  u = b1 + U1 U1^T eta2
+    u = e1.b + jnp.einsum("...ij,...kj,...k->...i", e1.U, e1.U, e2.eta)
+    Gz = jnp.einsum("...ij,...kj,...k->...i", XiG, e2.Z, u)  # Xi^-1 G Z2^T u
+    b = e2.b + jnp.einsum(
+        "...ij,...j->...i", e2.A, u - jnp.einsum("...ij,...j->...i", W1, Gz)
+    )
+    U = tria_sum(A2W1, e2.U)
+    return G, Xi, W1, XiG, A2W1, b, U
+
+
+def _sqrt_filtering_operator(e1, e2):
+    """Associative combine in square-root form (e1 earlier, e2 later)."""
+    e1, e2 = _broadcast_batch(e1, e2)
+    d = e1.A.shape[-1]
+    dtype = e1.A.dtype
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
+    G, Xi, W1, XiG, A2W1, b, U = _sqrt_filtering_moments(e1, e2)
+    Lam = tria(jnp.concatenate([jnp.swapaxes(G, -1, -2), eye], axis=-1),
+               assume_full_rank=True)
     # V2 = Z2 Lam^-T
     V2 = jnp.swapaxes(
         _solve_tri(Lam, jnp.swapaxes(e2.Z, -1, -2), lower=True), -1, -2
     )
 
     # A = A2 A1 - (A2 W1) (Xi^-1 G) (Z2^T A1)
-    XiG = _solve_tri(Xi, G)
-    A2W1 = bmm(e2.A, W1)
     Z2tA1 = bmm(e2.Z, e1.A, ta=True)
     A = bmm(e2.A, e1.A) - bmm(bmm(A2W1, XiG), Z2tA1)
-
-    # b = b2 + A2 (u - W1 Xi^-1 G Z2^T u),  u = b1 + U1 U1^T eta2
-    u = e1.b + jnp.einsum(
-        "...ij,...kj,...k->...i", e1.U, e1.U, e2.eta
-    )
-    Gz = jnp.einsum("...ij,...kj,...k->...i", XiG, e2.Z, u)  # Xi^-1 G Z2^T u
-    b = e2.b + jnp.einsum(
-        "...ij,...j->...i", e2.A, u - jnp.einsum("...ij,...j->...i", W1, Gz)
-    )
-
-    U = tria_sum(A2W1, e2.U)
 
     # eta = eta1 + A1^T (w - Z2 Lam^-T Lam^-1 G^T U1^T w), w = eta2 - Z2 Z2^T b1
     w = e2.eta - jnp.einsum("...ij,...kj,...k->...i", e2.Z, e2.Z, e1.b)
@@ -219,22 +228,7 @@ def _sqrt_filtering_final(e1, e2):
     and Z (the regularised-path tria, the combine's most expensive op) —
     all dead past the blocked scan's one full-width distribute pass."""
     e1, e2 = _broadcast_batch(e1, e2)
-    d = e1.A.shape[-1]
-    dtype = e1.A.dtype
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
-    G = bmm(e1.U, e2.Z, ta=True)
-    Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
-    W1 = jnp.swapaxes(
-        _solve_tri(Xi, jnp.swapaxes(e1.U, -1, -2), lower=True), -1, -2
-    )
-    XiG = _solve_tri(Xi, G)
-    A2W1 = bmm(e2.A, W1)
-    u = e1.b + jnp.einsum("...ij,...kj,...k->...i", e1.U, e1.U, e2.eta)
-    Gz = jnp.einsum("...ij,...kj,...k->...i", XiG, e2.Z, u)
-    b = e2.b + jnp.einsum(
-        "...ij,...j->...i", e2.A, u - jnp.einsum("...ij,...j->...i", W1, Gz)
-    )
-    U = tria_sum(A2W1, e2.U)
+    *_, b, U = _sqrt_filtering_moments(e1, e2)
     return b, U
 
 
@@ -334,10 +328,9 @@ class _SqrtSmootherElems(NamedTuple):
 
 def _sqrt_smoothing_operator(ej, ei):
     """Reverse-scan combine (ej later-suffix, ei earlier): sqrt form."""
+    g, D = _sqrt_smoothing_final(ej, ei)
     ej, ei = _broadcast_batch(ej, ei)
     E = bmm(ei.E, ej.E)
-    g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
-    D = tria_sum(bmm(ei.E, ej.D), ei.D)
     return _SqrtSmootherElems(E=E, g=g, D=D)
 
 

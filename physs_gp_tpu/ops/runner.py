@@ -61,7 +61,10 @@ import jax  # noqa: E402  (tree_map in _unpad)
 
 def _square(F: FilterResult) -> FilterResult:
     Ps = jnp.einsum("tij,tkj->tik", F.Ps, F.Ps)
-    return F._replace(Ps=Ps)
+    # drop the PREDICTED-FACTOR byproduct: in covariance form Pp must be a
+    # covariance, and the smoothers trust any non-None Pp — leaking the sqrt
+    # factor here would silently corrupt parallel_rts_smoother(A, Q, F)
+    return F._replace(Ps=Ps, Pp=None)
 
 
 def _square_s(S: SmootherResult) -> SmootherResult:

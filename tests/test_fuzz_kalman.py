@@ -134,3 +134,22 @@ def test_sharded_matches_sequential_oracle(sqrt):
     np.testing.assert_allclose(f.ms, f_ref.ms, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(s.ms, s_ref.ms, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(s.Ps, s_ref.Ps, rtol=1e-6, atol=1e-8)
+
+
+def test_cov_smoother_on_sqrt_filter_result():
+    """run_filter(sqrt=True) returns COVARIANCE-form results; composing the
+    covariance smoother on them must be exact — i.e. the sqrt PREDICTED
+    FACTOR byproduct (FilterResult.Pp) must not leak through the
+    squaring boundary (it would be misread as a dense covariance)."""
+    from physs_gp_tpu.ops.parallel_kalman import parallel_rts_smoother
+    from physs_gp_tpu.ops.runner import run_filter
+
+    ssm, R, y = _random_lgssm(17, 32, 3, 2)
+    f_cov, _ = run_filter(ssm, R, y, parallel=True, sqrt=True)
+    assert f_cov.Pp is None  # factor byproduct dropped at the boundary
+    s = parallel_rts_smoother(ssm.A, ssm.Q, f_cov)
+
+    f_ref = kalman_filter(ssm.A, ssm.Q, ssm.H, R, y, ssm.m0, ssm.P0)
+    s_ref = rts_smoother(ssm.A, ssm.Q, f_ref)
+    np.testing.assert_allclose(s.ms, s_ref.ms, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(s.Ps, s_ref.Ps, rtol=1e-6, atol=1e-8)
