@@ -168,7 +168,7 @@ class CVIGP:
         inactive site rows are decoupled (their ELL gradients are zero) and
         the filter masks them out of every result."""
         ok = jnp.isfinite(self.sites.Y).astype(m.dtype)  # [T, p]
-        T, p = m.shape
+        p = m.shape[-1]
         Vm = mask_covariance(self.sites.V, ok)
         eye = jnp.broadcast_to(jnp.eye(p, dtype=m.dtype), Vm.shape)
         Vinv, logdet = psd_solve_logdet(Vm, eye)

@@ -328,8 +328,8 @@ class _SqrtSmootherElems(NamedTuple):
 
 def _sqrt_smoothing_operator(ej, ei):
     """Reverse-scan combine (ej later-suffix, ei earlier): sqrt form."""
+    ej, ei = _broadcast_batch(ej, ei)  # final's internal broadcast: no-op
     g, D = _sqrt_smoothing_final(ej, ei)
-    ej, ei = _broadcast_batch(ej, ei)
     E = bmm(ei.E, ej.E)
     return _SqrtSmootherElems(E=E, g=g, D=D)
 
