@@ -211,6 +211,30 @@ class StackedMarkov(MarkovKernel):
     def noise_cov(self, dt: jnp.ndarray) -> jnp.ndarray:
         return _batched_block_diag([noise_matrix(k, dt) for k in self.parts])
 
+    def to_lgssm(self, t: jnp.ndarray):
+        """Block-diagonal composition of the parts' discretised systems.
+
+        Needed when parts own their lifting (`SpatioTemporalKernel.to_lgssm`'s
+        Kronecker lift): multi-latent spatio-temporal priors — the
+        reference's Independent-over-latents construction used by its
+        Helmholtz recipes (`zoo/phi_ml.py:146,267`) — stack this way. For
+        plain Markov parts this is identical to the `to_ss` path.
+        """
+        from ..ops.lgssm import LGSSM, build_lgssm
+
+        parts = [build_lgssm(k, t) for k in self.parts]
+        return LGSSM(
+            A=_batched_block_diag([p.A for p in parts]),
+            Q=_batched_block_diag([p.Q for p in parts]),
+            H=block_diag(*[p.H for p in parts]),
+            m0=jnp.concatenate([p.m0 for p in parts], axis=-1),
+            P0=block_diag(*[p.P0 for p in parts]),
+        )
+
+    @property
+    def state_dim(self) -> int:
+        return sum(k.state_dim for k in self.parts)
+
     @property
     def n_outputs(self) -> int:
         return len(self.parts)

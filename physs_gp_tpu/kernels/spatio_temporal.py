@@ -67,6 +67,10 @@ class SpatioTemporalKernel(Kernel):
     def temporal_state_dim(self) -> int:
         return to_ss(self.k_time).state_dim
 
+    @property
+    def state_dim(self) -> int:
+        return self.n_sites * self.temporal_state_dim
+
     def Kzz(self) -> jnp.ndarray:
         """Spatial gram with RELATIVE jitter: dense grids under smooth RBF
         kernels are near-singular, and the lifted P0 = Kzz ⊗ Pinf_t inherits

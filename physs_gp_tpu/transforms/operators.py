@@ -36,6 +36,7 @@ __all__ = [
     "ScatteredSpatialHead",
     "OperatorTerm",
     "STOperatorHead",
+    "StackedHead",
 ]
 
 
@@ -293,6 +294,91 @@ class ScatteredSpatialHead(Head):
         if not self.correction:
             return jnp.zeros(self.points.shape[:2])
         return jax.vmap(kernel.conditional_var_correction)(self.points)  # [T, Ng]
+
+
+@module
+class StackedHead(Head):
+    """One block of observation rows over a `StackedMarkov` state.
+
+    `parts` has one entry per stacked latent: ``None`` (zero block), a head,
+    or ``(coeff, head)`` — the coefficient scales the sub-head's rows (fixed
+    physics mixings; a Param coeff is trainable). Non-None sub-heads must
+    produce the same number of rows; blocks concatenate horizontally over the
+    per-part state slices. This is the state-space form of the reference's
+    fixed-W LMC over independent latents (`transforms/multi_output.py` LMC +
+    `zoo/phi_ml.py:146,267` helmholtz/helmholtz_3D): e.g. the 2-D Helmholtz
+    flow over latents (φ potential, ψ stream),
+
+        u row: [ (∂x φ)(s) | +(∂y ψ)(s) ]
+        v row: [ (∂y φ)(s) | −(∂x ψ)(s) ].
+    """
+
+    parts: list = field(default_factory=list)
+
+    @staticmethod
+    def _split(entry):
+        if isinstance(entry, tuple):
+            c, h = entry
+            return (c.value if isinstance(c, Param) else c), h
+        return 1.0, entry
+
+    def rows(self, kernel) -> jnp.ndarray:
+        blocks, n_rows, dtype = [], None, None
+        for entry, part in zip(self.parts, kernel.parts):
+            if entry is None:
+                blocks.append(None)
+                continue
+            c, h = self._split(entry)
+            b = h.rows(part) if hasattr(h, "rows") else h.row(part)[None, :]
+            if b.ndim != 2:
+                raise ValueError(
+                    "StackedHead sub-heads must produce static [N, d_part] "
+                    f"rows; got shape {b.shape} (time-varying sub-heads are "
+                    "not supported)"
+                )
+            blocks.append(c * b)
+            n_rows, dtype = b.shape[0], b.dtype
+        if n_rows is None:
+            raise ValueError("StackedHead needs at least one non-None part")
+        out = []
+        for entry_block, part in zip(blocks, kernel.parts):
+            if entry_block is None:
+                out.append(jnp.zeros((n_rows, part.state_dim), dtype))
+            else:
+                out.append(entry_block)
+        return jnp.concatenate(out, axis=-1)
+
+    def var_correction(self, kernel) -> jnp.ndarray:
+        """Σ_parts c² ρ_part(s): conditional residual variances of
+        independent latents add (each scaled by its mixing coefficient²)."""
+        out = None
+        for entry, part in zip(self.parts, kernel.parts):
+            if entry is None:
+                continue
+            c, h = self._split(entry)
+            if hasattr(h, "var_correction") and getattr(h, "correction", True):
+                v = (c * c) * h.var_correction(part)
+                out = v if out is None else out + v
+        if out is None:
+            out = jnp.zeros((self.points.shape[0],))
+        return out
+
+    @property
+    def correction(self) -> bool:
+        return any(
+            getattr(self._split(e)[1], "correction", False)
+            for e in self.parts
+            if e is not None
+        )
+
+    @property
+    def points(self):
+        """Row-count source (first non-None sub-head's points) for
+        StateObservation's zero-correction bookkeeping."""
+        for e in self.parts:
+            if e is not None:
+                return self._split(e)[1].points
+        raise AttributeError("StackedHead with no parts has no points")
 
 
 @module

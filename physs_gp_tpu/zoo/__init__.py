@@ -6,7 +6,7 @@ from .spatio_temporal import (
     sparse_st_gp,
     st_gp,
 )
-from .phi_ml import curl_free_gp, helmholtz_gp
+from .phi_ml import curl_free_gp, helmholtz_gp, helmholtz_st_gp, helmholtz_st_predict
 from .dynamics import (
     dynamic_covariance_gp,
     latent_force_gp,

@@ -21,7 +21,14 @@ from ..likelihoods.gaussian import Gaussian
 from ..models.batch_gp import BatchGP
 from ..utils.params import positive_param
 
-__all__ = ["curl_free_kernel", "div_free_kernel_2d", "curl_free_gp", "helmholtz_gp"]
+__all__ = [
+    "curl_free_kernel",
+    "div_free_kernel_2d",
+    "curl_free_gp",
+    "helmholtz_gp",
+    "helmholtz_st_gp",
+    "helmholtz_st_predict",
+]
 
 
 def curl_free_kernel(base, ds: int) -> DerivativeKernel:
@@ -107,3 +114,129 @@ class _MultiOutputSum(_SumKernel):
     @property
     def n_outputs(self) -> int:
         return self.parts[0].n_outputs
+
+
+# ---------------------------------------------------------------------------
+# State-space (Markov-time) Helmholtz: the reference's `helmholtz` /
+# `helmholtz_3D` 'sde_cvi' recipes (`zoo/phi_ml.py:146,267`) — independent
+# latent spatio-temporal GPs on the stream (ψ) and potential (φ) functions,
+# observed through fixed-mixing spatial-derivative flow heads
+#     flow(t, s) = [∂x φ + ∂y ψ,  ∂y φ − ∂x ψ](t, s).
+# O(T) in time via the Kalman scans instead of the O((2N)³) batch solve.
+# ---------------------------------------------------------------------------
+
+
+def _helmholtz_flow_heads(points, correction: bool):
+    from ..transforms.operators import SpatialHead, StackedHead, s_grad
+
+    def sh(i):
+        return SpatialHead(points=points, s_op=s_grad(i),
+                           correction=correction)
+
+    u = StackedHead(parts=[sh(0), sh(1)])            # ∂x φ + ∂y ψ
+    v = StackedHead(parts=[sh(1), (-1.0, sh(0))])    # ∂y φ − ∂x ψ
+    return [u, v]
+
+
+def helmholtz_st_gp(
+    t,
+    Y_flow,
+    Z,
+    k_time=None,
+    k_space=None,
+    noise: float = 1e-2,
+    dtype=jnp.float64,
+    parallel: bool = False,
+    sqrt: bool = False,
+    chunk_size=None,
+    cvi: bool = False,
+):
+    """Spatio-temporal Helmholtz flow GP in state-space form.
+
+    t [T] sorted times; Y_flow [T, 2*Ns] with columns [u(sites), v(sites)]
+    (NaN = missing); Z [Ns, 2] spatial sites carrying the latent states.
+    Two INDEPENDENT latent ST GPs (φ potential, ψ stream) stack
+    block-diagonally (`StackedMarkov`); the flow components are fixed-mixing
+    spatial-derivative observation rows over both latents (`StackedHead`),
+    so the posterior splits the observed flow into its curl-free and
+    divergence-free parts. `cvi=True` returns the CVI model (the reference's
+    'sde_cvi' default); the conjugate Gaussian case is exact either way.
+
+    `k_time` / `k_space` accept a single kernel (deep-copied so the latents
+    stay independently trainable) or a `(k_φ, k_ψ)` pair. Note the classic
+    identifiability fact: with IDENTICAL isotropic priors on φ and ψ, the u
+    and v components are exactly uncorrelated — cross-component transfer
+    (inferring v from u) needs asymmetric latent priors, e.g. a
+    divergence-dominant flow with a small-variance stream kernel.
+    """
+    import copy
+
+    from ..kernels import Matern32, StackedMarkov
+    from ..kernels.spatio_temporal import SpatioTemporalKernel
+    from ..models import CVIGP
+    from ..models.ssgp import StateSpaceGP
+    from ..transforms.operators import StateObservation
+
+    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    Ns = Z.shape[0]
+    assert Z.shape[1] == 2, "helmholtz_st_gp is the 2-D-space recipe"
+
+    def st(k_t, k_s):
+        return SpatioTemporalKernel(
+            k_time=k_t
+            or Matern32(lengthscale=jnp.asarray(1.0, dtype),
+                        variance=jnp.asarray(1.0, dtype)),
+            k_space=k_s
+            or RBF(lengthscales=positive_param(jnp.ones(2, dtype)),
+                   variance=positive_param(jnp.asarray(1.0, dtype))),
+            Z=Z,
+        )
+
+    def pair(k):
+        # (k_φ, k_ψ) pair, or independent copies of one kernel (the latents
+        # must not share trainable hyperparameters)
+        return k if isinstance(k, tuple) else (k, copy.deepcopy(k))
+
+    kt_phi, kt_psi = pair(k_time)
+    ks_phi, ks_psi = pair(k_space)
+    kern = StackedMarkov(parts=[st(kt_phi, ks_phi), st(kt_psi, ks_psi)])
+    obs = StateObservation(heads=_helmholtz_flow_heads(Z, correction=False))
+
+    from ..likelihoods.gaussian import IndependentGaussian
+
+    shared = positive_param(jnp.asarray(noise, dtype))
+    lik = IndependentGaussian(variances=[shared] * (2 * Ns))
+    t = jnp.asarray(t, dtype)
+    Y = jnp.asarray(Y_flow, dtype)
+    if cvi:
+        return CVIGP.init(
+            t, Y, kern, lik, observation=obs, parallel=parallel, sqrt=sqrt,
+            chunk_size=chunk_size,
+        )
+    return StateSpaceGP(
+        t=t, Y=Y, kernel=kern, likelihood=lik, observation=obs,
+        parallel=parallel, sqrt=sqrt, chunk_size=chunk_size,
+    )
+
+
+def helmholtz_st_predict(model, s_new):
+    """Flow posterior (u, v) at new spatial points on the training times.
+
+    Returns mean/var [T, 2*N*] with columns [u(s_new), v(s_new)]; the
+    off-site conditional residual is included in the variance (same DTC
+    marginalisation as `StateSpaceGP.posterior`).
+    """
+    from ..models.ssgp import GaussianMoments
+    from ..ops.lgssm import project_mean, project_var
+    from ..transforms.operators import StateObservation
+
+    s_new = jnp.atleast_2d(jnp.asarray(s_new, model.t.dtype))
+    obs = StateObservation(heads=_helmholtz_flow_heads(s_new, correction=True))
+    H = obs.H(model.kernel)
+    _, _, s = model.filter_smooth()
+    mean = project_mean(H, s.ms)
+    var = project_var(H, s.Ps)
+    corr = obs.var_correction(model.kernel)
+    if corr is not None:
+        var = var + corr
+    return GaussianMoments(mean=mean, var=var)
