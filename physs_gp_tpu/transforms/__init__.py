@@ -2,8 +2,10 @@ from .operators import (
     DerivativeHead,
     ScatteredSpatialHead,
     LinearOperatorHead,
+    MixedValueHead,
     OperatorTerm,
     SpatialHead,
+    StackedHead,
     StateObservation,
     STOperatorHead,
     ValueHead,

@@ -37,6 +37,7 @@ __all__ = [
     "OperatorTerm",
     "STOperatorHead",
     "StackedHead",
+    "MixedValueHead",
 ]
 
 
@@ -169,10 +170,15 @@ class StateObservation:
                 c = highest_precision(h.var_correction)(kernel)
                 any_corr = True
             elif hasattr(h, "rows"):
-                n = h.points.shape[-2]
-                c = jnp.zeros((n,)) if h.points.ndim == 2 else jnp.zeros(
-                    h.points.shape[:2]
-                )
+                pts = getattr(h, "points", None)
+                if pts is None:
+                    # point-free row heads (e.g. MixedValueHead) read the
+                    # state exactly: zero correction, one per row
+                    c = jnp.zeros((h.rows(kernel).shape[-2],))
+                elif pts.ndim == 2:
+                    c = jnp.zeros((pts.shape[-2],))
+                else:
+                    c = jnp.zeros(pts.shape[:2])
             else:
                 c = jnp.zeros((1,))
             parts.append(c)
@@ -379,6 +385,37 @@ class StackedHead(Head):
             if e is not None:
                 return self._split(e)[1].points
         raise AttributeError("StackedHead with no parts has no points")
+
+
+@module
+class MixedValueHead(Head):
+    """State-space LMC rows: observe g = W f over a `StackedMarkov` state.
+
+    The reference applies LMC in the prior DAG over SDE latents
+    (`transforms/multi_output.py:206` used by the sde model zoo); here the
+    mixing is P observation rows over the stacked latent states — same
+    marginal (Cov(g_p, g_q) = Σ_l W_pl W_ql k_l), O(T) through the filters.
+    `W` duck-types `.value` [P, L]: a Param, a plain array, or the
+    `kernels.multi_output` mixing objects (UnitLowerMixing /
+    CorrelationMixing), so every LMC parameterisation variant drops in.
+    """
+
+    W: object = None  # Param | ndarray | mixing object with .value [P, L]
+    t_order: int = static(default=0)
+
+    def rows(self, kernel) -> jnp.ndarray:
+        W = self.W.value if hasattr(self.W, "value") else jnp.asarray(self.W)
+        parts = kernel.parts
+        if W.shape[1] != len(parts):
+            raise ValueError(
+                f"mixing W has {W.shape[1]} latent columns but the stacked "
+                f"kernel has {len(parts)} parts"
+            )
+        blocks = [
+            W[:, l:l + 1] * derivative_row(part, self.t_order)[None, :]
+            for l, part in enumerate(parts)
+        ]
+        return jnp.concatenate(blocks, axis=-1)
 
 
 @module

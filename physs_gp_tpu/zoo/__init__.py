@@ -7,6 +7,7 @@ from .spatio_temporal import (
     st_gp,
 )
 from .phi_ml import curl_free_gp, helmholtz_gp, helmholtz_st_gp, helmholtz_st_predict
+from .multi_output import lmc_markov_gp
 from .dynamics import (
     dynamic_covariance_gp,
     latent_force_gp,

@@ -256,3 +256,78 @@ def test_gprn_mixing_variants_run_and_train(mixing):
         f = jnp.zeros((1, m2._n_w("softplus", 2, 2) + 2, 3))
         y0 = m2._mix(f, 3)
         assert np.all(np.isfinite(np.asarray(y0)))
+
+
+def test_markov_lmc_matches_batch_lmc():
+    """State-space LMC (MixedValueHead rows over stacked Markov latents,
+    `zoo.lmc_markov_gp`) == the batch LMC kernel's exact lml on the same
+    data — the two realisations of `transforms/multi_output.py:206` must
+    agree to fp64 tolerance, incl. missing entries, sequential AND parallel."""
+    from physs_gp_tpu.kernels import Matern32, Matern52
+    from physs_gp_tpu.models import BatchGP
+    from physs_gp_tpu.likelihoods.gaussian import Gaussian
+    from physs_gp_tpu.zoo import lmc_markov_gp
+
+    rng = np.random.default_rng(7)
+    T, P = 18, 3
+    t = np.sort(rng.uniform(0, 4, T))
+    lat = [Matern32(lengthscale=0.7, variance=1.0),
+           Matern52(lengthscale=1.8, variance=0.6)]
+    W = rng.normal(size=(P, 2))
+    Y = rng.normal(size=(T, P))
+    Y[3, 1] = np.nan
+    Y[9, 0] = np.nan
+    noise = 0.05
+
+    lmls = {}
+    for parallel in (False, True):
+        m = lmc_markov_gp(t, Y, lat, mixing=jnp.asarray(W), noise=noise,
+                          parallel=parallel)
+        lmls[parallel] = float(m.log_marginal_likelihood())
+
+    from physs_gp_tpu.kernels.multi_output import LMC
+    from physs_gp_tpu.utils.params import param as _param
+
+    batch = BatchGP(
+        X=jnp.asarray(t)[:, None], Y=jnp.asarray(Y),
+        kernel=LMC(latents=lat, W=_param(jnp.asarray(W))),
+        likelihood=Gaussian(positive_param(noise)),
+    )
+    lml_batch = float(batch.log_marginal_likelihood())
+    np.testing.assert_allclose(lmls[False], lml_batch, rtol=1e-8)
+    np.testing.assert_allclose(lmls[True], lml_batch, rtol=1e-8)
+
+
+def test_markov_lmc_mixing_variants_and_training():
+    """LMC_LDL/DRD mixing objects drop into the state-space head, W is
+    trainable by default, and a CVI (Poisson) variant runs."""
+    from physs_gp_tpu.kernels import Matern32
+    from physs_gp_tpu.kernels.multi_output import UnitLowerMixing
+    from physs_gp_tpu.likelihoods import Poisson
+    from physs_gp_tpu.utils.training import trainable_mask
+    from physs_gp_tpu.zoo import lmc_markov_gp
+
+    rng = np.random.default_rng(1)
+    T, P = 16, 2
+    t = np.sort(rng.uniform(0, 4, T))
+    lat = [Matern32(lengthscale=1.0, variance=1.0) for _ in range(P)]
+
+    # unit-lower mixing (ref LMC_LDL): zero strict-lower == independent heads
+    m = lmc_markov_gp(t, rng.normal(size=(T, P)), lat,
+                      mixing=UnitLowerMixing.init(P, P), noise=0.1)
+    lml = float(m.log_marginal_likelihood())
+    assert np.isfinite(lml)
+
+    # default mixing is a trainable Param
+    m2 = lmc_markov_gp(t, rng.normal(size=(T, P)), lat, noise=0.1)
+    mask = trainable_mask(m2)
+    w_leaf = mask.observation.heads[0].W.raw
+    assert bool(np.all(np.asarray(w_leaf)))
+
+    # CVI path (Poisson counts)
+    y = rng.poisson(1.0, size=(T, P)).astype(float)
+    mc = lmc_markov_gp(t, y, lat, likelihood=Poisson(), cvi=True)
+    import jax
+
+    mc2, elbo = jax.jit(lambda mm: mm.step_with_elbo(0.8))(mc)
+    assert np.isfinite(float(elbo))
