@@ -109,34 +109,55 @@ class SpatioTemporalKernel(Kernel):
         ref `kernels/diff_op.py` derivative cross-covariances) to
         k_s(., z) in its first argument; None = identity.
         """
-        import jax
-
-        s_new = jnp.atleast_2d(s_new)
-        if s_op is None:
-            Ksz = self.k_space.K(s_new, self.sites)  # [N*, Ns]
-        elif hasattr(s_op, "kind") and hasattr(self.k_space, "K_op"):
-            # closed-form derivative cross-covariance (RBF): one batched
-            # expression — vastly fewer XLA ops than the nested-autodiff
-            # fallback, and bf16-safe (no tiny-op chains)
-            Ksz = self.k_space.K_op(s_new, self.sites, s_op.kind)
-        else:
-            Ksz = jax.vmap(
-                lambda s: jax.vmap(lambda z: s_op(self.k_space.k_scalar, s, z))(
-                    self.sites
-                )
-            )(s_new)
+        Ksz = self._op_cross(jnp.atleast_2d(s_new), s_op)
         L = safe_cholesky(self.Kzz())
         import jax.scipy.linalg as jsl
 
         return jsl.cho_solve((L, True), Ksz.T).T  # [N*, Ns]
 
-    def conditional_var_correction(self, s_new: jnp.ndarray) -> jnp.ndarray:
-        """k_t(0) * (k_ss - k_sz Kzz^-1 k_zs) — residual prior variance at
-        off-grid spatial points (time-independent for separable kernels)."""
+    def _op_cross(self, s_new: jnp.ndarray, s_op=None) -> jnp.ndarray:
+        """(L_s k_s)(s*, Z) [N*, Ns] — operator applied in the FIRST arg."""
+        import jax
+
+        if s_op is None:
+            return self.k_space.K(s_new, self.sites)  # [N*, Ns]
+        if hasattr(s_op, "kind") and hasattr(self.k_space, "K_op"):
+            # closed-form derivative cross-covariance (RBF): one batched
+            # expression — vastly fewer XLA ops than the nested-autodiff
+            # fallback, and bf16-safe (no tiny-op chains)
+            return self.k_space.K_op(s_new, self.sites, s_op.kind)
+        return jax.vmap(
+            lambda s: jax.vmap(lambda z: s_op(self.k_space.k_scalar, s, z))(
+                self.sites
+            )
+        )(s_new)
+
+    def conditional_var_correction(self, s_new: jnp.ndarray, s_op=None
+                                   ) -> jnp.ndarray:
+        """k_t(0) * ((L L' k)(s, s) - (L k_sz) Kzz^-1 (L k_zs)) — residual
+        prior variance of the operator read (L f)(s) given f(Z), at off-grid
+        spatial points (time-independent for separable kernels). `s_op`
+        None = value read; otherwise the SAME operator the head's rows use —
+        e.g. a gradient head's residual scales as σ²/ℓ², NOT the value
+        kernel's σ²-scale residual.
+        """
+        import jax
+
         s_new = jnp.atleast_2d(s_new)
-        w = self.spatial_weights(s_new)
-        Ksz = self.k_space.K(s_new, self.sites)
-        kss = self.k_space.K_diag(s_new)
+        w = self.spatial_weights(s_new, s_op)
+        Ksz = self._op_cross(s_new, s_op)
+        if s_op is None:
+            kss = self.k_space.K_diag(s_new)
+        else:
+            # (L ⊗ L' k)(s, s): apply the operator in BOTH arguments — on the
+            # swapped kernel, L on the first arg of k(z, s) is L' on k(s, z)
+            k = self.k_space.k_scalar
+
+            def op_both(s):
+                g = lambda a, b: s_op(k, b, a)  # (L' k)(a=z, b=s) swapped
+                return s_op(g, s, s)
+
+            kss = jax.vmap(op_both)(s_new)
         resid = jnp.maximum(kss - jnp.sum(w * Ksz, axis=-1), 0.0)
         kt0 = self.k_time.K_diag(jnp.zeros((1, 1), s_new.dtype))[0]
         return kt0 * resid

@@ -1,4 +1,4 @@
-from .gaussian import BlockDiagonalGaussian, Gaussian, IndependentGaussian, Likelihood
+from .gaussian import BlockDiagonalGaussian, Gaussian, IndependentGaussian, Likelihood, SharedVariance
 from .nongaussian import Bernoulli, Poisson, Probit, expected_log_lik
 from .composite import CompositeLikelihood, NonlinearResidual
 from .het_gaussian import HetGaussian

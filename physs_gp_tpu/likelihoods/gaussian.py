@@ -43,6 +43,24 @@ class Gaussian(Likelihood):
 
 
 @module
+class SharedVariance:
+    """One scalar variance Param expanded across `n` heads — a TIED noise
+    group for `IndependentGaussian` (`[positive_param(v)] * n` does NOT tie:
+    pytree flattening makes each list slot an independent trainable leaf,
+    so training silently de-ties them)."""
+
+    p: object  # scalar Param
+    n: int = static(default=1)
+
+    @property
+    def value(self) -> jnp.ndarray:
+        return jnp.broadcast_to(jnp.atleast_1d(self.p.value), (self.n,))
+
+    def fix(self) -> "SharedVariance":
+        return SharedVariance(p=self.p.fix(), n=self.n)
+
+
+@module
 class IndependentGaussian(Likelihood):
     """Independent Gaussian noise with a separate variance per output head.
 
@@ -52,11 +70,15 @@ class IndependentGaussian(Likelihood):
     Gaussian). Heads may be fixed (`Param.fix()`) independently.
     """
 
-    variances: list  # per-head scalar Params (independently fixable)
+    variances: list  # per-head scalar Params / SharedVariance groups
 
     @property
     def _v(self) -> jnp.ndarray:
-        return jnp.stack([p.value for p in self.variances])
+        # concatenate (not stack): entries may be SharedVariance groups whose
+        # value spans several heads off ONE trainable scalar
+        return jnp.concatenate(
+            [jnp.atleast_1d(p.value) for p in self.variances]
+        )
 
     def R(self, T: int, p: int = 1) -> jnp.ndarray:
         v = self._v

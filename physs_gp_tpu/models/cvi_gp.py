@@ -241,11 +241,14 @@ class CVIGP:
             m = m + mu
         return GaussianMoments(mean=m, var=jnp.diagonal(S, axis1=-2, axis2=-1))
 
-    def predict_f(self, t_new) -> GaussianMoments:
-        """q(f) at new inputs via the surrogate's NaN-augmentation path."""
+    def surrogate_model(self):
+        """The conjugate surrogate as a `StateSpaceGP` (pseudo-observations
+        = the CVI sites) — its smoothed posterior IS q; prediction helpers
+        that need `filter_smooth` (e.g. `zoo.helmholtz_st_predict`) run on
+        this."""
         from .ssgp import StateSpaceGP
 
-        surrogate = StateSpaceGP(
+        return StateSpaceGP(
             t=self.t,
             Y=self.sites.Y,
             kernel=self.kernel,
@@ -257,7 +260,10 @@ class CVIGP:
             mesh=self.mesh,
             mesh_axis=self.mesh_axis,
         )
-        out = surrogate.predict_f(t_new)
+
+    def predict_f(self, t_new) -> GaussianMoments:
+        """q(f) at new inputs via the surrogate's NaN-augmentation path."""
+        out = self.surrogate_model().predict_f(t_new)
         if self.mean is not None:
             from ..means.mean import head_mean_values
 

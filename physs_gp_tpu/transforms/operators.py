@@ -263,7 +263,9 @@ class SpatialHead(Head):
     def var_correction(self, kernel):
         if not self.correction:
             return jnp.zeros((self.points.shape[0],))
-        return kernel.conditional_var_correction(self.points)  # [N_h]
+        # residual of the OPERATOR read (derivative heads scale ~ σ²/ℓ²,
+        # not the value kernel's σ²) — same s_op as rows()
+        return kernel.conditional_var_correction(self.points, self.s_op)
 
 
 @module
@@ -299,7 +301,9 @@ class ScatteredSpatialHead(Head):
 
         if not self.correction:
             return jnp.zeros(self.points.shape[:2])
-        return jax.vmap(kernel.conditional_var_correction)(self.points)  # [T, Ng]
+        return jax.vmap(
+            lambda p: kernel.conditional_var_correction(p, self.s_op)
+        )(self.points)  # [T, Ng]
 
 
 @module

@@ -14,7 +14,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..kernels.markov import StackedMarkov
-from ..likelihoods.gaussian import IndependentGaussian
+from ..likelihoods.gaussian import (
+    BlockDiagonalGaussian,
+    Gaussian,
+    IndependentGaussian,
+)
 from ..models import CVIGP
 from ..models.ssgp import StateSpaceGP
 from ..transforms.operators import MixedValueHead, StateObservation
@@ -53,9 +57,13 @@ def lmc_markov_gp(
     kern = StackedMarkov(parts=list(latents))
     obs = StateObservation(heads=[MixedValueHead(W=mixing)])
     lik = likelihood or IndependentGaussian(
-        variances=[positive_param(jnp.asarray(noise, dtype))] * P
+        variances=[positive_param(jnp.asarray(noise, dtype))
+                   for _ in range(P)]
     )
-    if cvi or likelihood is not None:
+    conjugate = isinstance(
+        lik, (Gaussian, IndependentGaussian, BlockDiagonalGaussian)
+    )
+    if cvi or not conjugate:
         return CVIGP.init(
             t, Y, kern, lik, observation=obs, parallel=parallel, sqrt=sqrt,
             chunk_size=chunk_size,

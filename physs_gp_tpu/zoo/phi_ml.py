@@ -202,10 +202,12 @@ def helmholtz_st_gp(
     kern = StackedMarkov(parts=[st(kt_phi, ks_phi), st(kt_psi, ks_psi)])
     obs = StateObservation(heads=_helmholtz_flow_heads(Z, correction=False))
 
-    from ..likelihoods.gaussian import IndependentGaussian
+    from ..likelihoods.gaussian import IndependentGaussian, SharedVariance
 
-    shared = positive_param(jnp.asarray(noise, dtype))
-    lik = IndependentGaussian(variances=[shared] * (2 * Ns))
+    # ONE physical flow-noise variance tied across all 2*Ns rows
+    lik = IndependentGaussian(variances=[
+        SharedVariance(p=positive_param(jnp.asarray(noise, dtype)), n=2 * Ns)
+    ])
     t = jnp.asarray(t, dtype)
     Y = jnp.asarray(Y_flow, dtype)
     if cvi:
@@ -230,6 +232,9 @@ def helmholtz_st_predict(model, s_new):
     from ..ops.lgssm import project_mean, project_var
     from ..transforms.operators import StateObservation
 
+    if hasattr(model, "surrogate_model"):
+        # CVI variant: the conjugate surrogate's smoothed posterior IS q
+        model = model.surrogate_model()
     s_new = jnp.atleast_2d(jnp.asarray(s_new, model.t.dtype))
     obs = StateObservation(heads=_helmholtz_flow_heads(s_new, correction=True))
     H = obs.H(model.kernel)

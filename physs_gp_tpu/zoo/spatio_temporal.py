@@ -69,11 +69,14 @@ def st_gp(
 
 
 def _grid_gaussian(noise, Ns, extra=()):
-    """IndependentGaussian with one shared Param across Ns grid heads plus
-    per-extra-head fixed variances."""
-    shared = _param(noise)
+    """IndependentGaussian with one TIED variance across the Ns grid heads
+    (a `SharedVariance` group — a repeated Param list would silently de-tie
+    under training) plus per-extra-head fixed variances."""
+    from ..likelihoods.gaussian import SharedVariance
+
     return IndependentGaussian(
-        variances=[shared] * Ns + [_param(v, fixed=True) for v in extra]
+        variances=[SharedVariance(p=_param(noise), n=Ns)]
+        + [_param(v, fixed=True) for v in extra]
     )
 
 
@@ -284,8 +287,12 @@ def scattered_st_predict(model, data, X_query):
         points=jnp.asarray(d2.X_st, dtype),
         t_order=head0.t_order, s_op=head0.s_op, correction=head0.correction,
     )])
+    from ..likelihoods.gaussian import SharedVariance
+
+    v0 = model.likelihood.variances[0]
+    v0 = getattr(v0, "p", v0)  # unwrap a SharedVariance group
     lik = IndependentGaussian(
-        variances=[model.likelihood.variances[0]] * (d2.Ng * P)
+        variances=[SharedVariance(p=v0, n=d2.Ng * P)]
     )
     m2 = replace(
         model, t=jnp.asarray(d2.t, dtype), Y=jnp.asarray(d2.Y_flat, dtype),

@@ -164,3 +164,60 @@ def test_helmholtz_st_reconstructs_unobserved_component():
     assert np.sqrt(np.mean((u_hat - u_t) ** 2)) < 0.3 * np.sqrt(
         np.mean(u_t ** 2)
     )
+
+
+def test_derivative_head_var_correction_matches_dense():
+    """conditional_var_correction(s, s_op) is the residual of the OPERATOR
+    read: (L⊗L'k)(s,s) − (Lk_sZ) Kzz⁻¹ (Lk_Zs) — NOT the value kernel's
+    residual (a gradient's prior variance scales as σ²/ℓ²)."""
+    import jax
+    from physs_gp_tpu.kernels.spatio_temporal import SpatioTemporalKernel
+    from physs_gp_tpu.transforms.operators import s_grad
+
+    rng = np.random.default_rng(5)
+    Z = rng.uniform(-1, 1, (6, 2))
+    S = rng.uniform(-0.8, 0.8, (4, 2))
+    kern = SpatioTemporalKernel(
+        k_time=Matern32(lengthscale=0.9, variance=1.3),
+        k_space=RBF(lengthscales=positive_param(jnp.array([0.6, 0.9])),
+                    variance=positive_param(1.1)),
+        Z=jnp.asarray(Z),
+    )
+    op = s_grad(0)
+    got = np.asarray(kern.conditional_var_correction(jnp.asarray(S), op))
+
+    # dense oracle by direct autodiff of the spatial kernel
+    k = kern.k_space.k_scalar
+    dk = jax.grad(k, argnums=0)          # ∂/∂s k(s, z)
+    ddk = jax.grad(lambda s, z: jax.grad(k, argnums=1)(s, z)[0], argnums=0)
+    Kzz = np.asarray(kern.Kzz())
+    kt0 = float(kern.k_time.K_diag(jnp.zeros((1, 1)))[0])
+    for i, s in enumerate(S):
+        cross = np.array([dk(jnp.asarray(s), jnp.asarray(z))[0] for z in Z])
+        prior = float(ddk(jnp.asarray(s), jnp.asarray(s))[0])
+        resid = prior - cross @ np.linalg.solve(Kzz, cross)
+        np.testing.assert_allclose(got[i], kt0 * max(resid, 0.0), rtol=1e-7,
+                                   atol=1e-12)
+
+    # and it is NOT the value-kernel residual
+    val = np.asarray(kern.conditional_var_correction(jnp.asarray(S)))
+    assert not np.allclose(got, val)
+
+
+def test_helmholtz_st_predict_on_cvi_model():
+    """helmholtz_st_predict works on the CVI variant (through the conjugate
+    surrogate) and matches the exact model's prediction after one lr=1
+    step."""
+    import jax
+
+    t, Z, Y, k_t, k_s = _setup(nan=False)
+    S_new = np.array([[0.2, -0.3], [-0.5, 0.4]])
+    m_cvi = helmholtz_st_gp(t, Y, Z, k_time=k_t, k_space=k_s, noise=0.04,
+                            cvi=True)
+    m_cvi, _ = jax.jit(lambda mm: mm.step_with_elbo(1.0))(m_cvi)
+    p_cvi = helmholtz_st_predict(m_cvi, S_new)
+
+    m_ex = helmholtz_st_gp(t, Y, Z, k_time=k_t, k_space=k_s, noise=0.04)
+    p_ex = helmholtz_st_predict(m_ex, S_new)
+    np.testing.assert_allclose(p_cvi.mean, p_ex.mean, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(p_cvi.var, p_ex.var, rtol=1e-6, atol=1e-9)

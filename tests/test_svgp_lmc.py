@@ -131,14 +131,12 @@ def test_svgp_natural_gradient_one_step_conjugate():
     m = m.natural_gradient_update(1.0)
     exact = BatchGP(X=jnp.asarray(X), Y=jnp.asarray(y)[:, None], kernel=kern,
                     likelihood=lik)
-    # exact up to the inducing-gram jitter (the [N*P, N*P] LMC gram is
-    # larger and closer to singular than the single-output case above)
     np.testing.assert_allclose(
-        float(m.elbo()), float(exact.log_marginal_likelihood()), rtol=2e-4
+        float(m.elbo()), float(exact.log_marginal_likelihood()), rtol=1e-6
     )
     pf, pe = m.predict_f(jnp.asarray(X)), exact.predict_f(jnp.asarray(X))
-    np.testing.assert_allclose(pf.mean, pe.mean, atol=1e-4)
-    np.testing.assert_allclose(pf.var, pe.var, atol=1e-4)
+    np.testing.assert_allclose(pf.mean, pe.mean, atol=1e-6)
+    np.testing.assert_allclose(pf.var, pe.var, atol=1e-6)
 
 
 @pytest.mark.slow
