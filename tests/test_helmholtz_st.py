@@ -65,12 +65,17 @@ def _dense_lml(model, t, Z, Y, noise):
     )
 
 
-@pytest.mark.parametrize("parallel", [False, True])
-def test_helmholtz_st_lml_matches_dense(parallel):
-    t, Z, Y, k_t, k_s = _setup()
+@pytest.mark.parametrize("parallel,sqrt,chunk", [
+    (False, False, None),
+    (True, False, None),
+    (True, True, None),
+    (True, True, 4),
+])
+def test_helmholtz_st_lml_matches_dense(parallel, sqrt, chunk):
+    t, Z, Y, k_t, k_s = _setup(T=8)
     noise = 0.04
     m = helmholtz_st_gp(t, Y, Z, k_time=k_t, k_space=k_s, noise=noise,
-                        parallel=parallel)
+                        parallel=parallel, sqrt=sqrt, chunk_size=chunk)
     lml = float(m.log_marginal_likelihood())
     dense = _dense_lml(m, t, Z, Y, noise)
     np.testing.assert_allclose(lml, dense, rtol=1e-8)
