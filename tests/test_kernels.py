@@ -126,3 +126,49 @@ def test_stationary_noise_psd():
     for i in range(3):
         w = np.linalg.eigvalsh(np.asarray(Q[i]))
         assert w.min() > -1e-10
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_composition_ssgp_matches_dense(seed):
+    """Random Sum/Product trees over the Matérn family: the composed
+    state-space model's lml must equal the dense GP built from the SAME
+    composition's closed-form K — gates the block-diag/Kronecker
+    composition algebra (`to_ss`/`transition_matrix`/`noise_matrix`) on
+    shapes no hand-written case covers, incl. missing data and the
+    parallel scan."""
+    from physs_gp_tpu.kernels import Matern52, Matern72
+    from physs_gp_tpu.likelihoods import Gaussian
+    from physs_gp_tpu.models import BatchGP, StateSpaceGP
+    from physs_gp_tpu.utils.params import positive_param
+
+    rng = np.random.default_rng(seed)
+
+    def leaf():
+        cls = [Matern12, Matern32, Matern52, Matern72][rng.integers(4)]
+        return cls(lengthscale=float(rng.uniform(0.4, 2.5)),
+                   variance=float(rng.uniform(0.3, 2.0)))
+
+    def tree(depth):
+        if depth == 0 or rng.uniform() < 0.3:
+            return leaf()
+        a, b = tree(depth - 1), tree(depth - 1)
+        return a + b if rng.uniform() < 0.5 else a * b
+
+    kern = tree(2)
+    T = 16
+    t = np.sort(rng.uniform(0, 4, T))
+    y = rng.normal(size=(T, 1))
+    y[rng.integers(T), 0] = np.nan
+    noise = 0.05
+    lik = Gaussian(positive_param(noise))
+
+    dense = BatchGP(X=jnp.asarray(t)[:, None], Y=jnp.asarray(y),
+                    kernel=kern, likelihood=lik)
+    lml_dense = float(dense.log_marginal_likelihood())
+    for parallel in (False, True):
+        m = StateSpaceGP(t=jnp.asarray(t), Y=jnp.asarray(y), kernel=kern,
+                         likelihood=lik, parallel=parallel)
+        np.testing.assert_allclose(
+            float(m.log_marginal_likelihood()), lml_dense, rtol=1e-8,
+            err_msg=f"seed={seed} parallel={parallel} kern={kern}",
+        )
