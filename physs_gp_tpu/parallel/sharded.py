@@ -27,8 +27,6 @@ out_specs ("Unexpected XLA sharding override").
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -123,15 +121,18 @@ def _tree_at(tree, i):
     return jax.tree_util.tree_map(lambda x: x[i], tree)
 
 
-def _varying(tree, axis):
-    """Mark replicated values as device-varying for shard_map's vma typing
-    (the fold carry becomes varying after combining with gathered totals)."""
+def _varying(tree, axes):
+    """Mark replicated values as device-varying over the manual mesh axes
+    for shard_map's vma typing (the fold carry becomes varying after
+    combining with gathered totals; in composite dp×t mode identities must
+    vary over BOTH axes)."""
+    axes = (axes,) if isinstance(axes, str) else tuple(axes)
     return jax.tree_util.tree_map(
-        lambda x: jax.lax.pcast(x, (axis,), to="varying"), tree
+        lambda x: jax.lax.pcast(x, axes, to="varying"), tree
     )
 
 
-def _exclusive_prefix(totals, idx, n_dev, identity, operator, axis):
+def _exclusive_prefix(totals, idx, n_dev, identity, operator, axes):
     """Fold totals[0..idx-1] left-to-right (masked fori over static n_dev)."""
 
     def body(i, acc):
@@ -140,10 +141,10 @@ def _exclusive_prefix(totals, idx, n_dev, identity, operator, axis):
             lambda a, c: jnp.where(i < idx, c, a), acc, combined
         )
 
-    return jax.lax.fori_loop(0, n_dev, body, _varying(identity, axis))
+    return jax.lax.fori_loop(0, n_dev, body, _varying(identity, axes))
 
 
-def _exclusive_suffix(totals, idx, n_dev, identity, operator, axis):
+def _exclusive_suffix(totals, idx, n_dev, identity, operator, axes):
     """Fold totals[idx+1..n-1] for the reverse (smoothing) direction."""
 
     def body(i, acc):
@@ -153,13 +154,39 @@ def _exclusive_suffix(totals, idx, n_dev, identity, operator, axis):
             lambda a, c: jnp.where(j > idx, c, a), acc, combined
         )
 
-    return jax.lax.fori_loop(0, n_dev, body, _varying(identity, axis))
+    return jax.lax.fori_loop(0, n_dev, body, _varying(identity, axes))
+
+
+def _composite_specs(A, H, mesh, axis, batch_axis):
+    """(in_specs, out_specs, batched) for the 1-D time mesh or the composite
+    batch×time mesh (data-parallel over independent series, each series'
+    scan time-sharded — e.g. mesh ('dp', 't') on a pod slice).
+
+    Batched mode is detected from A's rank ([B, T, d, d]); every per-series
+    array then carries a leading B axis sharded over `batch_axis` (H may
+    stay [p, d]: one shared static observation matrix is replicated)."""
+    batched = A.ndim == 4
+    if batched and batch_axis is None:
+        raise ValueError(
+            "batched inputs ([B, T, ...]) need batch_axis= (a mesh axis "
+            "name for the data-parallel dimension)"
+        )
+    lead = (batch_axis,) if batched else ()
+    spec = P(*lead, axis)
+    rep = P(*lead)
+    # time-varying H shards along time like A/Q/R; a single static [p, d] H
+    # is fully replicated (even in batched mode)
+    tv_H = H.ndim == (4 if batched else 3)
+    spec_H = spec if tv_H else (P() if H.ndim == 2 else rep)
+    in_specs = (spec, spec, spec_H, spec, spec, rep, rep)
+    out_specs = (spec, spec, spec, spec, spec, spec)
+    return in_specs, out_specs, batched
 
 
 @highest_precision
 def sharded_filter_smoother(
     A, Q, H, R, y, m0, P0, mesh: Mesh, axis: str = "t", mask=None,
-    chunk_size: int | None = None,
+    chunk_size: int | None = None, batch_axis: str | None = None,
 ):
     """Time-sharded parallel filter + smoother.
 
@@ -167,31 +194,31 @@ def sharded_filter_smoother(
     by mesh.shape[axis]. Returns (FilterResult, SmootherResult) with outputs
     sharded along the time axis.
 
+    COMPOSITE dp×t mode: pass every per-series array with a leading batch
+    dim ([B, T, ...]; m0/P0 as [B, d]/[B, d, d]; H either shared [p, d] or
+    per-series time-varying [B, T, p, d]) plus `batch_axis=` naming a second
+    mesh axis — B shards over `batch_axis` while each series' scan shards
+    over `axis`, so e.g. a ('dp', 't') = (32, 8) mesh trains 32-way data
+    parallel with 8-way sequence parallelism per series.
+
     `chunk_size` chunks each chip's LOCAL scan (outer lax.scan of inner
     associative scans, element carry) — bounds per-chip memory and keeps the
     traced graph constant in T/n_dev, same story as the single-chip chunked
     mode but with an element (not state) carry since the incoming state is
     unknown until the cross-chip exchange.
     """
-    T, d = y.shape[0], m0.shape[-1]
+    T, d = y.shape[-2], m0.shape[-1]
     n_dev = mesh.shape[axis]
     assert T % n_dev == 0, f"T={T} must divide over {n_dev} '{axis}' shards"
     if mask is None:
         mask = observation_mask(y, P0.dtype)
     dtype = P0.dtype
 
-    spec = P(axis)
-    rep = P()
-    # time-varying H [T, p, d] (scattered sensors / ragged groups) shards
-    # along the time axis like A/Q/R; time-invariant H [p, d] is replicated
-    spec_H = spec if H.ndim == 3 else rep
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(spec, spec, spec_H, spec, spec, rep, rep),
-        out_specs=(spec, spec, spec, spec, spec, spec),
+    in_specs, out_specs, batched = _composite_specs(
+        A, H, mesh, axis, batch_axis
     )
+    vaxes = (axis, batch_axis) if batched else (axis,)
+
     def run(A_l, Q_l, H_, R_l, y_mask_l, m0_, P0_):
         y_l, mask_l = y_mask_l[..., 0], y_mask_l[..., 1]
         H_l = (
@@ -213,12 +240,12 @@ def sharded_filter_smoother(
         )
         ident = _identity_filter_elem(d, dtype)
         local = _chunked_inclusive_scan(
-            _filtering_operator, elems, chunk_size, _varying(ident, axis)
+            _filtering_operator, elems, chunk_size, _varying(ident, vaxes)
         )
         total = _tree_at(local, -1)
         totals = jax.lax.all_gather(total, axis)  # [n_dev, ...]
         prefix = _exclusive_prefix(
-            totals, idx, n_dev, ident, _filtering_operator, axis
+            totals, idx, n_dev, ident, _filtering_operator, vaxes
         )
         # reduced distribute combine: only the filtered moments feed on
         b_l, C_l = _filtering_final(
@@ -268,22 +295,32 @@ def sharded_filter_smoother(
         )
         sflip = jax.tree_util.tree_map(lambda x: x[::-1], selems)
         sscan = _chunked_inclusive_scan(
-            _smoothing_operator, sflip, chunk_size, _varying(sident, axis)
+            _smoothing_operator, sflip, chunk_size, _varying(sident, vaxes)
         )
         slocal = jax.tree_util.tree_map(lambda x: x[::-1], sscan)
         stotal = _tree_at(slocal, 0)
         stotals = jax.lax.all_gather(stotal, axis)
         suffix = _exclusive_suffix(
-            stotals, idx, n_dev, sident, _smoothing_operator, axis
+            stotals, idx, n_dev, sident, _smoothing_operator, vaxes
         )
         sg_l, sL_l = _smoothing_final(
             jax.tree_util.tree_map(lambda x: x[None], suffix), slocal
         )
         return ms_l, Ps_l, lmls_l, sg_l, symmetrize(sL_l), E
 
+    body = run
+    if batched:
+        # local batch vmap: the 't' collectives broadcast over the vmapped
+        # dim (axis_index/all_gather/ppermute have batching rules); a shared
+        # static H [p, d] stays unbatched
+        body = jax.vmap(run, in_axes=(0, 0, None if H.ndim == 2 else 0,
+                                      0, 0, 0, 0))
+    run_sm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+    )
     y_mask = jnp.stack([jnp.nan_to_num(y) * mask, mask], axis=-1)
-    ms, Ps, lmls, sms, sPs, Gs = run(A, Q, H, R, y_mask, m0, P0)
-    filt = FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls)
+    ms, Ps, lmls, sms, sPs, Gs = run_sm(A, Q, H, R, y_mask, m0, P0)
+    filt = FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls, -1), lmls=lmls)
     smooth = SmootherResult(ms=sms, Ps=sPs, Gs=Gs)
     return filt, smooth
 
@@ -364,33 +401,30 @@ def _sqrt_smoother_boundary_element(A_next0, Qs_next0, m_last, U_last):
 @highest_precision
 def sharded_sqrt_filter_smoother(
     A, Q_sqrt, H, R_sqrt, y, m0, P0_sqrt, mesh: Mesh, axis: str = "t",
-    mask=None, chunk_size: int | None = None,
+    mask=None, chunk_size: int | None = None, batch_axis: str | None = None,
 ):
     """Time-sharded QR square-root parallel filter + smoother.
 
     Same exchange structure as `sharded_filter_smoother` (local scans, one
-    all_gather of chunk totals, redundant tiny prefix fold) but with the
+    all_gather of chunk totals, redundant tiny prefix fold; composite dp×t
+    mode via leading batch dims + `batch_axis=`) but with the
     square-root elements/operators, so the multi-chip path inherits the fp32
     robustness story (CLAUDE.md rule 3). Q_sqrt/R_sqrt/P0_sqrt are lower
     Cholesky factors; returned Ps are COVARIANCES (squared at the boundary).
     """
-    T, d = y.shape[0], m0.shape[-1]
+    T, d = y.shape[-2], m0.shape[-1]
     n_dev = mesh.shape[axis]
     assert T % n_dev == 0, f"T={T} must divide over {n_dev} '{axis}' shards"
     if mask is None:
         mask = observation_mask(y, P0_sqrt.dtype)
     dtype = P0_sqrt.dtype
 
-    spec = P(axis)
-    rep = P()
-    spec_H = spec if H.ndim == 3 else rep  # time-varying H shards over time
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(spec, spec, spec_H, spec, spec, rep, rep),
-        out_specs=(spec, spec, spec, spec, spec, spec, spec),
+    in_specs, out_specs6, batched = _composite_specs(
+        A, H, mesh, axis, batch_axis
     )
+    out_specs = out_specs6 + (out_specs6[-1],)  # 7 outputs (extra Ls)
+    vaxes = (axis, batch_axis) if batched else (axis,)
+
     def run(A_l, Qs_l, H_, Rs_l, y_mask_l, m0_, U0_):
         y_l, mask_l = y_mask_l[..., 0], y_mask_l[..., 1]
         H_l = (
@@ -410,12 +444,12 @@ def sharded_sqrt_filter_smoother(
         )
         ident = _identity_sqrt_filter_elem(d, dtype)
         local = _chunked_inclusive_scan(
-            _sqrt_filtering_operator, elems, chunk_size, _varying(ident, axis)
+            _sqrt_filtering_operator, elems, chunk_size, _varying(ident, vaxes)
         )
         total = _tree_at(local, -1)
         totals = jax.lax.all_gather(total, axis)
         prefix = _exclusive_prefix(
-            totals, idx, n_dev, ident, _sqrt_filtering_operator, axis
+            totals, idx, n_dev, ident, _sqrt_filtering_operator, vaxes
         )
         # reduced distribute combine: only the filtered moments feed on
         ms_l, Us_l = _sqrt_filtering_final(
@@ -455,13 +489,13 @@ def sharded_sqrt_filter_smoother(
         )
         sflip = jax.tree_util.tree_map(lambda x: x[::-1], selems)
         sscan = _chunked_inclusive_scan(
-            _sqrt_smoothing_operator, sflip, chunk_size, _varying(sident, axis)
+            _sqrt_smoothing_operator, sflip, chunk_size, _varying(sident, vaxes)
         )
         slocal = jax.tree_util.tree_map(lambda x: x[::-1], sscan)
         stotal = _tree_at(slocal, 0)
         stotals = jax.lax.all_gather(stotal, axis)
         suffix = _exclusive_suffix(
-            stotals, idx, n_dev, sident, _sqrt_smoothing_operator, axis
+            stotals, idx, n_dev, sident, _sqrt_smoothing_operator, vaxes
         )
         sg_l, sD_l = _sqrt_smoothing_final(
             jax.tree_util.tree_map(lambda x: x[None], suffix), slocal
@@ -472,10 +506,17 @@ def sharded_sqrt_filter_smoother(
         sPs_l = jnp.einsum("tij,tkj->tik", sD_l, sD_l)
         return ms_l, Ps_l, lmls_l, sg_l, sPs_l, sD_l, E
 
+    body = run
+    if batched:
+        body = jax.vmap(run, in_axes=(0, 0, None if H.ndim == 2 else 0,
+                                      0, 0, 0, 0))
+    run_sm = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+    )
     y_mask = jnp.stack([jnp.nan_to_num(y) * mask, mask], axis=-1)
-    ms, Ps, lmls, sms, sPs, sLs, Gs = run(
+    ms, Ps, lmls, sms, sPs, sLs, Gs = run_sm(
         A, Q_sqrt, H, R_sqrt, y_mask, m0, P0_sqrt
     )
-    filt = FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls), lmls=lmls)
+    filt = FilterResult(ms=ms, Ps=Ps, lml=jnp.sum(lmls, -1), lmls=lmls)
     smooth = SmootherResult(ms=sms, Ps=sPs, Gs=Gs, Ls=sLs)
     return filt, smooth

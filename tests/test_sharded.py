@@ -213,3 +213,66 @@ def test_pad_amount_non_divisible_chunk_edge():
     pad2 = _pad_amount(1000, 125, n_shards=8)
     assert (1000 + pad2) // 8 <= 125 or ((1000 + pad2) // 8) % 125 == 0
     assert pad2 == 0
+
+
+@pytest.mark.parametrize("sqrt", [False, True])
+def test_composite_dp_t_mesh_matches_sequential(sqrt):
+    """Composite dp×t mode: B independent series batched over a 'dp' mesh
+    axis, each series' scan time-sharded over 't' — per-series lml and
+    smoothed moments must match the sequential oracle."""
+    from physs_gp_tpu.kernels import Matern32
+    from physs_gp_tpu.ops.kalman import kalman_filter, rts_smoother
+    from physs_gp_tpu.ops.matrix import safe_cholesky
+    from physs_gp_tpu.parallel.sharded import sharded_sqrt_filter_smoother
+
+    B, T = 2, 32
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.uniform(0, 10, (B, T)), axis=1)
+    y = rng.normal(size=(B, T, 1))
+    y[0, 5, 0] = np.nan
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "t"))
+
+    ssms = []
+    for b in range(B):
+        ssm = build_lgssm(Matern32(lengthscale=1.0), jnp.asarray(t[b]))
+        R = jnp.broadcast_to(0.1 * jnp.eye(1), (T, 1, 1))
+        ssms.append((ssm, R))
+    lml_ref, sms_ref = [], []
+    for b, (ssm, R) in enumerate(ssms):
+        f = kalman_filter(ssm.A, ssm.Q, ssm.H, R, jnp.asarray(y[b]),
+                          ssm.m0, ssm.P0)
+        s = rts_smoother(ssm.A, ssm.Q, f)
+        lml_ref.append(float(f.lml))
+        sms_ref.append(np.asarray(s.ms))
+
+    H = ssms[0][0].H  # shared static observation matrix: stays [p, d]
+    Ab = jnp.stack([s.A for s, _ in ssms])
+    m0b = jnp.stack([s.m0 for s, _ in ssms])
+    if sqrt:
+        Qb = jnp.stack([safe_cholesky(s.Q) for s, _ in ssms])
+        Rb = jnp.stack([safe_cholesky(r) for _, r in ssms])
+        P0b = jnp.stack([safe_cholesky(s.P0) for s, _ in ssms])
+        fn = sharded_sqrt_filter_smoother
+    else:
+        Qb = jnp.stack([s.Q for s, _ in ssms])
+        Rb = jnp.stack([r for _, r in ssms])
+        P0b = jnp.stack([s.P0 for s, _ in ssms])
+        fn = sharded_filter_smoother
+
+    f2, s2 = jax.jit(lambda: fn(
+        Ab, Qb, H, Rb, jnp.asarray(y), m0b, P0b,
+        mesh=mesh, axis="t", batch_axis="dp",
+    ))()
+    np.testing.assert_allclose(np.asarray(f2.lml), lml_ref, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s2.ms), np.stack(sms_ref),
+                               rtol=1e-6, atol=1e-9)
+
+    # hyperparameter gradient flows through the composite mesh
+    def loss(Qin):
+        f, s = fn(Ab, Qin, H, Rb, jnp.asarray(y), m0b, P0b,
+                  mesh=mesh, axis="t", batch_axis="dp")
+        return jnp.sum(f.lml)
+
+    g = jax.jit(jax.grad(loss))(Qb)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
