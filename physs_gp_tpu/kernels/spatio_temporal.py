@@ -132,14 +132,17 @@ class SpatioTemporalKernel(Kernel):
             )
         )(s_new)
 
-    def conditional_var_correction(self, s_new: jnp.ndarray, s_op=None
-                                   ) -> jnp.ndarray:
-        """k_t(0) * ((L L' k)(s, s) - (L k_sz) Kzz^-1 (L k_zs)) — residual
-        prior variance of the operator read (L f)(s) given f(Z), at off-grid
-        spatial points (time-independent for separable kernels). `s_op`
-        None = value read; otherwise the SAME operator the head's rows use —
-        e.g. a gradient head's residual scales as σ²/ℓ², NOT the value
-        kernel's σ²-scale residual.
+    def conditional_var_correction(self, s_new: jnp.ndarray, s_op=None,
+                                   t_order: int = 0) -> jnp.ndarray:
+        """Var(∂_t^o f) * ((L L' k)(s, s) - (L k_sz) Kzz^-1 (L k_zs)) —
+        residual prior variance of the operator read (L_s ∂_t^o f)(s) given
+        f(Z), at off-grid spatial points (time-independent for separable
+        kernels). `s_op` None = value read; otherwise the SAME operator the
+        head's rows use — e.g. a gradient head's residual scales as σ²/ℓ²,
+        NOT the value kernel's σ²-scale residual. Likewise `t_order` must be
+        the head's temporal-derivative order: the o-th time derivative's
+        stationary variance is r Pinf rᵀ (r = `derivative_row`), e.g. λ²σ²
+        for Matérn-3/2's f′ — NOT k_t(0).
         """
         import jax
 
@@ -159,5 +162,13 @@ class SpatioTemporalKernel(Kernel):
 
             kss = jax.vmap(op_both)(s_new)
         resid = jnp.maximum(kss - jnp.sum(w * Ksz, axis=-1), 0.0)
-        kt0 = self.k_time.K_diag(jnp.zeros((1, 1), s_new.dtype))[0]
+        if t_order == 0:
+            kt0 = self.k_time.K_diag(jnp.zeros((1, 1), s_new.dtype))[0]
+        else:
+            # stationary variance of the o-th time derivative from the SS
+            # form (lazy import: transforms imports kernels at module level)
+            from ..transforms.operators import derivative_row
+
+            r = derivative_row(self.k_time, t_order)
+            kt0 = r @ to_ss(self.k_time).Pinf @ r
         return kt0 * resid

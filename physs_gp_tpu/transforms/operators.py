@@ -246,26 +246,40 @@ class SpatialHead(Head):
 
     `correction=True` (SpatialSparsity: data sites ≠ inducing sites Z, ref
     `sparsity/sparsity.py:65`) adds the conditional-variance residual
-    ρ(s) = k_t(0)(k_ss − k_sZ K_ZZ^{-1} k_Zs) to the observation noise,
-    making the filter's marginal the exact sparse-GP (DTC) likelihood."""
+    ρ(s) = Var(∂_t^o f)(k_ss − k_sZ K_ZZ^{-1} k_Zs) to the observation noise,
+    making the filter's marginal the exact sparse-GP (DTC) likelihood.
+
+    `coeff` scales the whole block (fixed physics mixings, e.g. the −1 of a
+    curl-free field component H_i = −∂_i φ, ref `zoo/phi_ml.py:38-55`
+    W_curl_free); a Param coeff is trainable."""
 
     points: jnp.ndarray  # [N_h, ds]
     t_order: int = static(default=0)
     s_op: object = static(default=None)
     correction: bool = static(default=False)
+    coeff: object = 1.0  # scalar | Param
+
+    def _coeff(self):
+        return self.coeff.value if isinstance(self.coeff, Param) else self.coeff
 
     def rows(self, kernel) -> jnp.ndarray:
         w = kernel.spatial_weights(self.points, self.s_op)  # [N_h, Ns]
         t_row = derivative_row(kernel.k_time, self.t_order)  # [d]
         N_h, Ns = w.shape
-        return jnp.einsum("ns,d->nsd", w, t_row).reshape(N_h, Ns * t_row.shape[0])
+        return self._coeff() * jnp.einsum("ns,d->nsd", w, t_row).reshape(
+            N_h, Ns * t_row.shape[0]
+        )
 
     def var_correction(self, kernel):
         if not self.correction:
             return jnp.zeros((self.points.shape[0],))
         # residual of the OPERATOR read (derivative heads scale ~ σ²/ℓ²,
-        # not the value kernel's σ²) — same s_op as rows()
-        return kernel.conditional_var_correction(self.points, self.s_op)
+        # not the value kernel's σ², and ∂_t^o reads scale by the o-th
+        # derivative's stationary variance) — same s_op/t_order as rows()
+        c = self._coeff()
+        return (c * c) * kernel.conditional_var_correction(
+            self.points, self.s_op, self.t_order
+        )
 
 
 @module
@@ -302,7 +316,9 @@ class ScatteredSpatialHead(Head):
         if not self.correction:
             return jnp.zeros(self.points.shape[:2])
         return jax.vmap(
-            lambda p: kernel.conditional_var_correction(p, self.s_op)
+            lambda p: kernel.conditional_var_correction(
+                p, self.s_op, self.t_order
+            )
         )(self.points)  # [T, Ng]
 
 

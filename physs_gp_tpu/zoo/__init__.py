@@ -6,7 +6,14 @@ from .spatio_temporal import (
     sparse_st_gp,
     st_gp,
 )
-from .phi_ml import curl_free_gp, helmholtz_gp, helmholtz_st_gp, helmholtz_st_predict
+from .phi_ml import (
+    curl_free_gp,
+    helmholtz_gp,
+    helmholtz_st_gp,
+    helmholtz_st_predict,
+    magnetic_field_gp,
+    magnetic_field_predict,
+)
 from .multi_output import lmc_markov_gp
 from .dynamics import (
     dynamic_covariance_gp,

@@ -28,6 +28,8 @@ __all__ = [
     "helmholtz_gp",
     "helmholtz_st_gp",
     "helmholtz_st_predict",
+    "magnetic_field_gp",
+    "magnetic_field_predict",
 ]
 
 
@@ -219,6 +221,134 @@ def helmholtz_st_gp(
         t=t, Y=Y, kernel=kern, likelihood=lik, observation=obs,
         parallel=parallel, sqrt=sqrt, chunk_size=chunk_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# State-space magnetic field: the reference's `magnetic_field_strength_H`
+# 'sde_cvi' recipe (`zoo/phi_ml.py:7`) — a 3-D curl-free field H = −∇φ over
+# coordinates (t, x, y), with the first coordinate carrying the Markov
+# factorisation: H₁ = −∂t φ comes free from the time-kernel state (the
+# reference's latents [f dx dy dt ...] with fixed W rows [0,0,0,−1,…]),
+# H₂/H₃ = −∂x/−∂y φ through the spatial conditional. O(T) in the first
+# coordinate instead of the O(N³) batch solve of `curl_free_gp`.
+# ---------------------------------------------------------------------------
+
+
+def _magnetic_heads(points, include_potential: bool, correction: bool):
+    from ..transforms.operators import SpatialHead, s_grad
+
+    def sh(t_order=0, s_op=None, coeff=1.0):
+        return SpatialHead(points=points, t_order=t_order, s_op=s_op,
+                           coeff=coeff, correction=correction)
+
+    heads = [sh()] if include_potential else []  # φ itself
+    heads += [
+        sh(t_order=1, coeff=-1.0),          # H₁ = −∂t φ
+        sh(s_op=s_grad(0), coeff=-1.0),     # H₂ = −∂x φ
+        sh(s_op=s_grad(1), coeff=-1.0),     # H₃ = −∂y φ
+    ]
+    return heads
+
+
+def magnetic_field_gp(
+    t,
+    Y_field,
+    Z,
+    k_time=None,
+    k_space=None,
+    noise: float = 1e-2,
+    include_potential: bool = False,
+    dtype=jnp.float64,
+    parallel: bool = False,
+    sqrt: bool = False,
+    chunk_size=None,
+    cvi: bool = False,
+):
+    """Curl-free 3-D field GP in state-space form (ref
+    `zoo/phi_ml.py:7` `magnetic_field_strength_H`, model='sde_cvi').
+
+    t [T] sorted first coordinates; Y_field [T, 3*Ns] with column blocks
+    [H₁(sites), H₂(sites), H₃(sites)] (NaN = missing) — the curl-free field
+    H = −∇φ of one latent potential φ(t, x, y); Z [Ns, 2] spatial sites.
+    `include_potential=True` (the reference's include_potential_function)
+    prepends a φ(sites) block, so Y_field is [T, 4*Ns] = [φ, H₁, H₂, H₃].
+
+    The time kernel needs first-derivative state (order ≥ Matérn-3/2);
+    `derivative_row` raises a clear error otherwise. `cvi=True` returns the
+    CVI model (the reference's 'sde_cvi' default); the conjugate Gaussian
+    case is exact either way.
+    """
+    from ..kernels import Matern32
+    from ..kernels.spatio_temporal import SpatioTemporalKernel
+    from ..likelihoods.gaussian import IndependentGaussian, SharedVariance
+    from ..models import CVIGP
+    from ..models.ssgp import StateSpaceGP
+    from ..transforms.operators import StateObservation
+
+    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    Ns = Z.shape[0]
+    assert Z.shape[1] == 2, "magnetic_field_gp takes 2 non-Markov coordinates"
+    n_blocks = 4 if include_potential else 3
+    Y = jnp.asarray(Y_field, dtype)
+    if Y.shape[1] != n_blocks * Ns:
+        raise ValueError(
+            f"Y_field has {Y.shape[1]} columns; expected {n_blocks}*Ns = "
+            f"{n_blocks * Ns} ({'[φ, H1, H2, H3]' if include_potential else '[H1, H2, H3]'} site blocks)"
+        )
+
+    kern = SpatioTemporalKernel(
+        k_time=k_time
+        or Matern32(lengthscale=jnp.asarray(1.0, dtype),
+                    variance=jnp.asarray(1.0, dtype)),
+        k_space=k_space
+        or RBF(lengthscales=positive_param(jnp.ones(2, dtype)),
+               variance=positive_param(jnp.asarray(1.0, dtype))),
+        Z=Z,
+    )
+    obs = StateObservation(
+        heads=_magnetic_heads(Z, include_potential, correction=False)
+    )
+    # ONE physical field-noise variance tied across all observed rows
+    lik = IndependentGaussian(variances=[
+        SharedVariance(p=positive_param(jnp.asarray(noise, dtype)),
+                       n=n_blocks * Ns)
+    ])
+    t = jnp.asarray(t, dtype)
+    if cvi:
+        return CVIGP.init(
+            t, Y, kern, lik, observation=obs, parallel=parallel, sqrt=sqrt,
+            chunk_size=chunk_size,
+        )
+    return StateSpaceGP(
+        t=t, Y=Y, kernel=kern, likelihood=lik, observation=obs,
+        parallel=parallel, sqrt=sqrt, chunk_size=chunk_size,
+    )
+
+
+def magnetic_field_predict(model, s_new, include_potential: bool = False):
+    """Field posterior (and optionally φ) at new spatial points on the
+    training times: mean/var [T, (3|4)*N*] with the same column blocks as
+    `magnetic_field_gp`. Off-site conditional residuals are included in the
+    variance (per-head: the −∂t block scales by Var(f′), the gradient
+    blocks by the derivative-kernel residual)."""
+    from ..models.ssgp import GaussianMoments
+    from ..ops.lgssm import project_mean, project_var
+    from ..transforms.operators import StateObservation
+
+    if hasattr(model, "surrogate_model"):
+        model = model.surrogate_model()
+    s_new = jnp.atleast_2d(jnp.asarray(s_new, model.t.dtype))
+    obs = StateObservation(
+        heads=_magnetic_heads(s_new, include_potential, correction=True)
+    )
+    H = obs.H(model.kernel)
+    _, _, s = model.filter_smooth()
+    mean = project_mean(H, s.ms)
+    var = project_var(H, s.Ps)
+    corr = obs.var_correction(model.kernel)
+    if corr is not None:
+        var = var + corr
+    return GaussianMoments(mean=mean, var=var)
 
 
 def helmholtz_st_predict(model, s_new):
