@@ -2,6 +2,7 @@ from .base import (
     Bias,
     Kernel,
     LinearKernel,
+    OnDims,
     ProductKernel,
     StationaryKernel,
     SumKernel,

@@ -24,6 +24,7 @@ from ..utils.struct import field, module, static
 
 __all__ = [
     "Kernel",
+    "OnDims",
     "StationaryKernel",
     "SumKernel",
     "ProductKernel",
@@ -54,12 +55,34 @@ def scaled_sqdist(X1: jnp.ndarray, X2: jnp.ndarray, lengthscales) -> jnp.ndarray
     return jnp.maximum(d2, 0.0)
 
 
+def autodiff_deriv_fn(k_scalar, a: tuple, b: tuple):
+    """∂^a_{x1} ∂^b_{x2} k by nested autodiff over the scalar contract
+    (multi-indices a/b = input-dim tuples). Correct for kernels SMOOTH at
+    x1 == x2 (RBF, periodic, …); |τ|-kernels (Matérn) must provide
+    `k_deriv_fn` closed forms instead — their autodiff derivatives are
+    WRONG at coincident points (the in-sqrt floor zeroes the chain)."""
+    f = k_scalar
+    for i in a:
+        f = (lambda g, i=i: lambda x1, x2: jax.grad(g, argnums=0)(x1, x2)[i])(f)
+    for j in b:
+        f = (lambda g, j=j: lambda x1, x2: jax.grad(g, argnums=1)(x1, x2)[j])(f)
+    return f
+
+
 class Kernel:
     """Abstract kernel. Subclasses are @module pytrees."""
 
     # ---- scalar contract (autodiff surface for the physics layer) ----
     def k_scalar(self, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
+
+    def k_deriv_fn(self, a: tuple, b: tuple):
+        """Optional closed-form derivative cross-covariance: return a scalar
+        function fn(x1, x2) = ∂^a_{x1} ∂^b_{x2} k, or None to use the
+        nested-autodiff tower (`autodiff_deriv_fn`). Markov kernels provide
+        this from their state-space form — exact at coincident points where
+        autodiff of |τ|-kernels is not."""
+        return None
 
     # ---- batched evaluation ----
     def K(self, X1: jnp.ndarray, X2: jnp.ndarray) -> jnp.ndarray:
@@ -124,6 +147,60 @@ class SumKernel(Kernel):
     def K_diag(self, X):
         return sum(k.K_diag(X) for k in self.parts)
 
+    def k_deriv_fn(self, a, b):
+        # derivatives distribute over sums; each part uses its own closed
+        # form when it has one (a Matérn part stays exact at τ = 0)
+        fns = [
+            k.k_deriv_fn(a, b) or autodiff_deriv_fn(k.k_scalar, a, b)
+            for k in self.parts
+        ]
+        return lambda x1, x2: sum(f(x1, x2) for f in fns)
+
+
+@module
+class OnDims(Kernel):
+    """Route `base` onto a subset of input dims — the reference's
+    active-dims / `input_index` mechanism (`kernels/diff_op.py:86`,
+    `SpatioTemporalSeperableKernel` time/space split) as a composable
+    wrapper: k(x1, x2) = base(x1[dims], x2[dims]). Separable products are
+    then `OnDims(k_t, (0,)) * OnDims(k_s, (1, 2))`."""
+
+    base: object
+    dims: tuple = static(default=(0,))
+
+    def _idx(self):
+        import numpy as np
+
+        return np.asarray(self.dims, dtype=int)
+
+    def k_scalar(self, x1, x2):
+        idx = self._idx()
+        return self.base.k_scalar(
+            jnp.atleast_1d(x1)[idx], jnp.atleast_1d(x2)[idx]
+        )
+
+    def K(self, X1, X2):
+        idx = self._idx()
+        return self.base.K(_as_2d(X1)[:, idx], _as_2d(X2)[:, idx])
+
+    def K_diag(self, X):
+        return self.base.K_diag(_as_2d(X)[:, self._idx()])
+
+    def k_deriv_fn(self, a, b):
+        """Global derivative dims map onto the base's local dims; a
+        derivative wrt a dim this kernel ignores is identically zero."""
+        if any(g not in self.dims for g in (*a, *b)):
+            return lambda x1, x2: jnp.zeros((), _as_2d(x1).dtype)
+        la = tuple(self.dims.index(g) for g in a)
+        lb = tuple(self.dims.index(g) for g in b)
+        inner = self.base.k_deriv_fn(la, lb) or autodiff_deriv_fn(
+            self.base.k_scalar, la, lb
+        )
+        idx = self._idx()
+        return lambda x1, x2: inner(
+            jnp.atleast_1d(x1)[idx], jnp.atleast_1d(x2)[idx]
+        )
+
 
 @module
 class ProductKernel(Kernel):
@@ -146,6 +223,36 @@ class ProductKernel(Kernel):
         for k in self.parts[1:]:
             out = out * k.K_diag(X)
         return out
+
+    def k_deriv_fn(self, a, b):
+        """Separable products (parts on DISJOINT `OnDims` subsets — the
+        reference's SpatioTemporalSeperableKernel factorisation): each
+        derivative index lands in exactly one factor, so the mixed product
+        rule collapses to a product of per-factor derivatives. Falls back
+        to the autodiff tower (return None) for overlapping-dims products."""
+        if not (a or b):
+            return None
+        dims = [getattr(k, "dims", None) for k in self.parts]
+        if any(d is None for d in dims):
+            return None
+        claimed = [g for d in dims for g in d]
+        if len(claimed) != len(set(claimed)):  # overlapping factors
+            return None
+        if any(g not in claimed for g in (*a, *b)):
+            return None
+        fns = []
+        for k, d in zip(self.parts, dims):
+            pa = tuple(g for g in a if g in d)
+            pb = tuple(g for g in b if g in d)
+            fns.append(k.k_deriv_fn(pa, pb) or autodiff_deriv_fn(k.k_scalar, pa, pb))
+
+        def fn(x1, x2):
+            out = fns[0](x1, x2)
+            for f in fns[1:]:
+                out = out * f(x1, x2)
+            return out
+
+        return fn
 
 
 @module

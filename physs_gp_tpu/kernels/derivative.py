@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..utils.params import Param
 from ..utils.struct import field, module, static
-from .base import Kernel, _as_2d
+from .base import Kernel, _as_2d, autodiff_deriv_fn
 
 __all__ = ["DerivativeKernel", "grad_ops", "second_order_ops"]
 
@@ -42,14 +42,11 @@ def second_order_ops(ds: int):
     return tuple(ops)
 
 
-def _apply_ops(k_scalar, a: tuple, b: tuple):
-    """Differentiate k(x1, x2) per multi-indices a (wrt x1) and b (wrt x2)."""
-    f = k_scalar
-    for i in a:
-        f = (lambda g, i=i: lambda x1, x2: jax.grad(g, argnums=0)(x1, x2)[i])(f)
-    for j in b:
-        f = (lambda g, j=j: lambda x1, x2: jax.grad(g, argnums=1)(x1, x2)[j])(f)
-    return f
+def _apply_ops(kernel, a: tuple, b: tuple):
+    """∂^a_{x1} ∂^b_{x2} k: the kernel's closed form when it has one
+    (`k_deriv_fn` — exact at coincident points for |τ| kernels like Matérn,
+    where the autodiff tower is wrong), else nested autodiff."""
+    return kernel.k_deriv_fn(a, b) or autodiff_deriv_fn(kernel.k_scalar, a, b)
 
 
 @module
@@ -81,12 +78,11 @@ class DerivativeKernel(Kernel):
     def K_blocks(self, X1, X2) -> jnp.ndarray:
         """[P_ops, P_ops, N, M] operator-covariance blocks."""
         X1, X2 = _as_2d(X1), _as_2d(X2)
-        k = self.base.k_scalar
         rows = []
         for a in self.ops:
             cols = []
             for b in self.ops:
-                fab = _apply_ops(k, a, b)
+                fab = _apply_ops(self.base, a, b)
                 Kab = jax.vmap(lambda x: jax.vmap(lambda y: fab(x, y))(X2))(X1)
                 cols.append(Kab)
             rows.append(jnp.stack(cols))
@@ -104,12 +100,11 @@ class DerivativeKernel(Kernel):
 
     def K_diag(self, X) -> jnp.ndarray:
         X = _as_2d(X)
-        k = self.base.k_scalar
         cols = []
         for a in self.ops:
             row = []
             for b in self.ops:
-                fab = _apply_ops(k, a, b)
+                fab = _apply_ops(self.base, a, b)
                 row.append(jax.vmap(lambda x: fab(x, x))(X))
             cols.append(jnp.stack(row))
         B = jnp.stack(cols)  # [P, Q, N]

@@ -108,6 +108,54 @@ class Matern(StationaryKernel, MarkovKernel):
         Pinf = solve_pinf(F, L, Qc)
         return StateSpace(F=F, L=L, Qc=Qc, H=H, Pinf=Pinf, minf=jnp.zeros(d, dtype))
 
+    def k_deriv_fn(self, a: tuple, b: tuple):
+        """Exact derivative cross-covariance ∂^a_{x1} ∂^b_{x2} k — closed
+        form, NOT autodiff (the |τ| chain zeroes/NaNs autodiff on the
+        diagonal). For τ > 0 write k(τ) = σ² e^{-λτ} Q₀(λτ); then
+            k⁽ʲ⁾(τ) = σ² λʲ e^{-λτ} Q_j(λτ),   Q_{j+1} = Q_j′ − Q_j,
+        extended to τ ≤ 0 by evenness (odd j picks up sign(τ), which is 0
+        at τ = 0 exactly where odd derivatives of an even function vanish),
+        and ∂^m_{x1}∂^n_{x2} k(x1−x2) = (−1)ⁿ k⁽ᵐ⁺ⁿ⁾(τ). Valid for
+        m, n ≤ p (the orders the Markov state carries); cross-gated against
+        the state-space filter in tests/test_deriv_zoo.py."""
+        if any(i != 0 for i in (*a, *b)):
+            raise ValueError("Matern is 1-D (temporal); derivative dims must be 0")
+        m, n = len(a), len(b)
+        if max(m, n) > self.p:
+            raise ValueError(
+                f"Matern nu={self.p}+1/2 supports derivative orders <= {self.p}; "
+                f"got orders ({m}, {n})"
+            )
+        p, j = self.p, m + n
+        # Q_0 coefficients, ascending powers of u = lam*|tau| (unit variance;
+        # same polynomial as _matern_corr)
+        c = [0.0] * (p + 1)
+        for i in range(p + 1):
+            c[p - i] = (
+                (math.factorial(p) / math.factorial(2 * p))
+                * (math.factorial(p + i) / (math.factorial(i) * math.factorial(p - i)))
+                * 2.0 ** (p - i)
+            )
+        for _ in range(j):  # Q <- Q' - Q (degree stays <= p)
+            c = [
+                ((k + 1) * c[k + 1] if k < p else 0.0) - c[k]
+                for k in range(p + 1)
+            ]
+        sgn = (-1.0) ** n
+        odd = j % 2 == 1
+
+        def fn(x1, x2):
+            lam = self._lam
+            tau = jnp.ravel(jnp.atleast_1d(x1))[0] - jnp.ravel(jnp.atleast_1d(x2))[0]
+            u = lam * jnp.abs(tau)
+            poly = c[p]
+            for k in range(p - 1, -1, -1):  # Horner
+                poly = poly * u + c[k]
+            val = sgn * self.variance.value * lam**j * jnp.exp(-u) * poly
+            return val * jnp.sign(tau) if odd else val
+
+        return fn
+
     def transition(self, dt: jnp.ndarray) -> jnp.ndarray:
         """Exact A(dt) by the terminating nilpotent expansion; batched over dt."""
         d = self.p + 1

@@ -50,6 +50,9 @@ class RBF(StationaryKernel):
         if kind == "laplacian":
             quad = jnp.sum(D * D / ls**4, axis=-1)
             return K * (quad - jnp.sum(1.0 / ls**2))
+        if isinstance(kind, tuple) and kind[0] == "grad2":
+            i = kind[1]
+            return K * (D[..., i] ** 2 / ls[i] ** 4 - 1.0 / ls[i] ** 2)
         raise ValueError(f"unknown spatial operator kind: {kind!r}")
 
 

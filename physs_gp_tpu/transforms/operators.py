@@ -221,6 +221,21 @@ def s_grad(i: int):
     return op
 
 
+def s_grad2(i: int):
+    """Row of ∂²k_s/∂s_i² in the first argument (pure second spatial
+    derivatives — the reference's SecondOrder diff-op family,
+    `kernels/diff_op.py` SecondOrderDerivativeKernel per-dim blocks)."""
+    import jax
+
+    def op(k, s, z):
+        return jax.grad(
+            lambda ss: jax.grad(lambda s2: k(s2, z))(ss)[i]
+        )(s)[i]
+
+    op.kind = ("grad2", i)
+    return op
+
+
 def s_laplacian(k, s, z):
     """Σ_i ∂²k_s/∂s_i² in the first argument (diffusion terms).
 
