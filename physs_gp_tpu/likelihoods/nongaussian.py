@@ -25,7 +25,7 @@ from ..utils.params import Param, positive_param
 from ..utils.struct import field, module, static
 from .gaussian import Gaussian, Likelihood
 
-__all__ = ["Poisson", "Bernoulli", "Probit", "expected_log_lik"]
+__all__ = ["Poisson", "Bernoulli", "Probit", "PerOutputLikelihood", "expected_log_lik"]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -193,3 +193,68 @@ class LossLikelihood(Likelihood):
 
     def conditional_variance(self, f):
         return jnp.ones_like(f)
+
+
+@module
+class PerOutputLikelihood(Likelihood):
+    """Route column p of data-major multi-output arrays to `liks[p]` — the
+    reference's `lik_arr` per-output likelihood lists (`zoo/diff.py:93`
+    diff_vgp: Gaussian data head + fixed-variance/Probit constraint heads).
+
+    All arrays are DATA-MAJOR flat [N*P] (SVGP's layout); entries reshape
+    to [N, P] and dispatch per column."""
+
+    liks: list
+
+    def _cols(self, *arrs):
+        P = len(self.liks)
+        return [a.reshape(-1, P) for a in arrs]
+
+    def log_prob(self, y, f):
+        y2, f2 = self._cols(y, f)
+        out = jnp.stack(
+            [lik.log_prob(y2[:, p], f2[:, p]) for p, lik in enumerate(self.liks)],
+            axis=-1,
+        )
+        return out.reshape(y.shape)
+
+    def expected_log_lik(self, y, m, v):
+        y2, m2, v2 = self._cols(y, m, v)
+        out = jnp.stack(
+            [
+                expected_log_lik(lik, y2[:, p], m2[:, p], v2[:, p])
+                for p, lik in enumerate(self.liks)
+            ],
+            axis=-1,
+        )
+        return out.reshape(y.shape)
+
+    # same per-head predictive contract as CompositeLikelihood — models
+    # route predict_y / nlpd through these (f_mean/f_var [N, P])
+    def predict_y_moments(self, f_mean, f_var, gh_points: int = 20):
+        means, vrs = [], []
+        for p, lik in enumerate(self.liks):
+            m, v = f_mean[..., p], f_var[..., p]
+            ey = expect_gh(lik.conditional_mean, m, v, gh_points)
+            ey2 = expect_gh(
+                lambda ff, lik=lik: lik.conditional_variance(ff)
+                + lik.conditional_mean(ff) ** 2,
+                m, v, gh_points,
+            )
+            means.append(ey)
+            vrs.append(ey2 - ey * ey)
+        return jnp.stack(means, -1), jnp.stack(vrs, -1)
+
+    def predictive_log_density(self, y, f_mean, f_var, gh_points: int = 20):
+        from ..ops.quadrature import expect_gh_log
+
+        cols = []
+        for p, lik in enumerate(self.liks):
+            y0 = jnp.nan_to_num(y[..., p])
+            cols.append(
+                expect_gh_log(
+                    lambda ff, lik=lik, y0=y0: lik.log_prob(y0[..., None], ff),
+                    f_mean[..., p], f_var[..., p], gh_points,
+                )
+            )
+        return jnp.stack(cols, -1)

@@ -180,6 +180,9 @@ class SVGP:
 
         f = self.predict_f(Xs)
         lik = self.likelihood
+        if hasattr(lik, "predict_y_moments"):  # per-output routing
+            ey, vy = lik.predict_y_moments(f.mean, f.var, gh_points)
+            return GaussianMoments(mean=ey, var=vy)
         if hasattr(lik, "conditional_mean"):
             ey = expect_gh(lik.conditional_mean, f.mean, f.var, gh_points)
             ey2 = expect_gh(

@@ -14,7 +14,7 @@ from .phi_ml import (
     magnetic_field_gp,
     magnetic_field_predict,
 )
-from .diff import deriv_gp, deriv_sde_gp, deriv_st_gp, diff_orders
+from .diff import deriv_gp, deriv_sde_gp, deriv_st_gp, deriv_vgp, diff_orders
 from .multi_output import lmc_markov_gp
 from .dynamics import (
     dynamic_covariance_gp,

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..utils.params import positive_param
 
-__all__ = ["deriv_gp", "deriv_sde_gp", "deriv_st_gp", "diff_orders"]
+__all__ = ["deriv_gp", "deriv_vgp", "deriv_sde_gp", "deriv_st_gp", "diff_orders"]
 
 
 def diff_orders(n) -> tuple:
@@ -98,6 +98,68 @@ def deriv_gp(
         variances=_noise_list(noise, len(ops), fix_noise, dtype)
     )
     return BatchGP(X=X, Y=Y, kernel=kern, likelihood=lik)
+
+
+def deriv_vgp(
+    X,
+    Y,
+    time_diff=1,
+    space_diff=1,
+    kernel=None,
+    Z=None,
+    liks=None,
+    noise=0.1,
+    fix_noise: bool = False,
+    whiten: bool = True,
+    dtype=jnp.float64,
+):
+    """Variational batch derivative GP (ref `zoo/diff.py:93` diff_vgp):
+    free-form q(u) at inducing inputs `Z` (None → X) over the SAME joint
+    derivative prior as `deriv_gp`, with per-output likelihoods — the
+    AutoIP construction (Gaussian data head + non-Gaussian constraint
+    heads, e.g. `Probit` for monotonicity, the reference's `lik_arr`).
+
+    `liks`: list of one likelihood per output column (len = 1 + |time
+    orders| + (D-1)·|space orders|); None → independent Gaussians with
+    `noise`. Conjugate case is gated == `deriv_gp`'s exact posterior via
+    one lr=1 natural-gradient step (tests/test_deriv_zoo.py).
+    """
+    from ..kernels import RBF, DerivativeKernel
+    from ..likelihoods.nongaussian import PerOutputLikelihood
+    from ..models.svgp import SVGP
+
+    X = np.asarray(X, float)
+    if X.ndim == 1:
+        X = X[:, None]
+    X = jnp.asarray(X, dtype)
+    D = X.shape[1]
+    ops = [()]
+    ops += [(0,) * o for o in diff_orders(time_diff)]
+    if D > 1:
+        for i in range(1, D):
+            ops += [(i,) * o for o in diff_orders(space_diff)]
+    kernel = kernel or RBF(
+        lengthscales=positive_param(jnp.ones(D, dtype)),
+        variance=positive_param(jnp.asarray(1.0, dtype)),
+    )
+    kern = DerivativeKernel(base=kernel, ops=tuple(ops))
+    Y = jnp.asarray(Y, dtype)
+    if Y.shape[1] != len(ops):
+        raise ValueError(
+            f"Y has {Y.shape[1]} columns; the diff spec produces {len(ops)} outputs"
+        )
+    if liks is None:
+        from ..likelihoods.gaussian import Gaussian
+
+        liks = [
+            Gaussian(variance=p)
+            for p in _noise_list(noise, len(ops), fix_noise, dtype)
+        ]
+    if len(liks) != len(ops):
+        raise ValueError(f"liks has {len(liks)} entries; expected {len(ops)}")
+    lik = PerOutputLikelihood(liks=list(liks))
+    Z = X if Z is None else jnp.asarray(np.atleast_2d(Z), dtype)
+    return SVGP.init(X, Y, Z, kern, lik, whiten=whiten)
 
 
 def deriv_sde_gp(

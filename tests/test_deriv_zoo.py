@@ -289,6 +289,88 @@ def test_st_cvi_tight():
     )
 
 
+def test_vgp_conjugate_matches_exact():
+    """deriv_vgp (Z = X, Gaussian heads, unwhitened) + one lr=1 natural-
+    gradient step reaches the exact posterior: ELBO == deriv_gp lml."""
+    from physs_gp_tpu.zoo import deriv_vgp
+
+    rng = np.random.default_rng(8)
+    N = 6
+    X = np.sort(rng.uniform(0, 2, N))[:, None]
+    Y = rng.normal(size=(N, 3))
+    Y[2, 1] = np.nan
+    k = Matern52(lengthscale=0.8, variance=1.1)
+    m = deriv_vgp(X, Y, time_diff=2, space_diff=None, kernel=k, noise=0.1,
+                  whiten=False)
+    m = jax.jit(lambda mm: mm.natural_gradient_update(1.0))(m)
+    exact = deriv_gp(X, Y, time_diff=2, space_diff=None, kernel=k, noise=0.1)
+    np.testing.assert_allclose(
+        float(m.elbo()), float(exact.log_marginal_likelihood()), rtol=1e-7
+    )
+
+
+def test_vgp_probit_monotonicity():
+    """A Probit constraint head on f' (y=1 rows) pulls the posterior
+    derivative positive where unconstrained data says otherwise — the
+    AutoIP monotonic construction (ref `zoo/diff.py:93` lik_arr)."""
+    from physs_gp_tpu.likelihoods import Gaussian, Probit
+    from physs_gp_tpu.utils.params import positive_param as pp
+    from physs_gp_tpu.zoo import deriv_vgp
+
+    rng = np.random.default_rng(9)
+    N = 12
+    X = np.linspace(0, 3, N)[:, None]
+    # noisy samples of a monotone function; noise suggests local decreases
+    f = np.tanh(X[:, 0] - 1.5)
+    Y = np.stack([f + 0.25 * rng.normal(size=N), np.ones(N)], axis=1)
+    k = Matern52(lengthscale=1.0, variance=1.0)
+    liks = [Gaussian(variance=pp(0.05)), Probit(nu=1e-2)]
+
+    def fit_on(Y, liks):
+        m = deriv_vgp(X, Y, time_diff=1, space_diff=None, kernel=k,
+                      liks=liks, whiten=False)
+        step = jax.jit(lambda mm: mm.natural_gradient_update(0.5))
+        for _ in range(25):
+            m = step(m)
+        return np.asarray(m.predict_f(X).mean)[:, 1]
+
+    d_con = fit_on(Y, liks)
+    assert (d_con > -1e-3).all(), d_con
+    # the unconstrained model (constraint column all-NaN → masked out)
+    # admits negative derivatives for this draw — the constraint does work
+    Y_un = Y.copy()
+    Y_un[:, 1] = np.nan
+    d_un = fit_on(Y_un, liks)
+    assert d_un.min() < d_con.min() - 1e-4
+
+
+def test_vgp_predict_y_per_output():
+    """predict_y routes per column: Gaussian head = f moments + noise
+    (quadrature of the identity is exact), Probit head = a probability."""
+    from physs_gp_tpu.likelihoods import Gaussian, Probit
+    from physs_gp_tpu.utils.params import positive_param as pp
+    from physs_gp_tpu.zoo import deriv_vgp
+
+    rng = np.random.default_rng(10)
+    N = 8
+    X = np.linspace(0, 2, N)[:, None]
+    Y = np.stack([rng.normal(size=N), np.ones(N)], axis=1)
+    m = deriv_vgp(X, Y, time_diff=1, space_diff=None,
+                  kernel=Matern52(lengthscale=0.9, variance=1.0),
+                  liks=[Gaussian(variance=pp(0.04)), Probit(nu=1e-2)],
+                  whiten=False)
+    m = jax.jit(lambda mm: mm.natural_gradient_update(0.5))(m)
+    f = m.predict_f(X)
+    y = m.predict_y(X)
+    np.testing.assert_allclose(np.asarray(y.mean)[:, 0],
+                               np.asarray(f.mean)[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y.var)[:, 0],
+                               np.asarray(f.var)[:, 0] + 0.04, rtol=1e-5)
+    p = np.asarray(y.mean)[:, 1]
+    assert ((p >= 0) & (p <= 1)).all()
+    assert np.asarray(y.var)[:, 1].max() <= 0.2500001  # Bernoulli bound
+
+
 def test_column_count_errors():
     t = np.linspace(0, 1, 4)
     with pytest.raises(ValueError, match="columns"):
