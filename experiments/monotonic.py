@@ -59,6 +59,29 @@ def main():
     )
     p0 = jax.jit(lambda mm, ts: mm.predict_f(ts))(m0, jnp.asarray(t_test))
 
+    # AutoIP-style batch-VI arm (the reference's diff_vgp comparison,
+    # `zoo/diff.py:93` + monotonic `m_stgp.py:122-160` lik_arr): same data,
+    # Probit constraint column at the collocation grid, natural-gradient VI.
+    from physs_gp_tpu.likelihoods import Probit
+    from physs_gp_tpu.zoo import deriv_vgp
+
+    t_all = np.concatenate([t_data, t_coll])
+    Y_vgp = np.full((t_all.shape[0], 2), np.nan)
+    Y_vgp[: n_data, 0] = y_data
+    Y_vgp[n_data:, 1] = 1.0  # f' >= 0 pseudo-observations
+    m_vgp = deriv_vgp(
+        t_all[:, None], Y_vgp, time_diff=1, space_diff=None,
+        kernel=Matern72(lengthscale=1.0, variance=1.0),
+        liks=[Gaussian(variance=positive_param(0.15 ** 2)), Probit(nu=1e-2)],
+        Z=np.linspace(0, 4, 30 if args.quick else 50)[:, None],
+        whiten=False,
+    )
+    ng = jax.jit(lambda mm: mm.natural_gradient_update(0.5))
+    with Timer() as tv:
+        for _ in range(iters):
+            m_vgp = ng(m_vgp)
+    pv = jax.jit(lambda mm, ts: mm.predict_f(ts))(m_vgp, jnp.asarray(t_test))
+
     truth = _truth(t_test)
     results = {
         "config": {"quick": args.quick, "iters": iters},
@@ -74,8 +97,12 @@ def main():
             )),
             "deriv_violation_rate": float(np.mean(dmean < -1e-3)),
             "final_elbo": final_elbo,
+            "rmse_vgp": rmse(np.asarray(pv.mean)[:, 0], truth),
+            "deriv_violation_rate_vgp": float(
+                np.mean(np.asarray(pv.mean)[:, 1] < -1e-3)
+            ),
         },
-        "meta": {"training_time": tm.seconds},
+        "meta": {"training_time": tm.seconds, "training_time_vgp": tv.seconds},
     }
     dump_results(args.out, "monotonic", results)
 

@@ -233,12 +233,28 @@ class ProductKernel(Kernel):
         if not (a or b):
             return None
         dims = [getattr(k, "dims", None) for k in self.parts]
-        if any(d is None for d in dims):
-            return None
-        claimed = [g for d in dims for g in d]
-        if len(claimed) != len(set(claimed)):  # overlapping factors
-            return None
-        if any(g not in claimed for g in (*a, *b)):
+        claimed = [g for d in dims for g in (d or ())]
+        if (
+            any(d is None for d in dims)
+            or len(claimed) != len(set(claimed))  # overlapping factors
+            or any(g not in claimed for g in (*a, *b))
+        ):
+            # cannot factorise. Falling back to autodiff is only safe when
+            # every part is autodiff-safe at coincident points — a part that
+            # OVERRIDES k_deriv_fn (Matérn & co) declares it is not.
+            bad = [
+                type(k).__name__
+                for k in self.parts
+                if type(k).k_deriv_fn is not Kernel.k_deriv_fn
+            ]
+            if bad:
+                raise ValueError(
+                    f"ProductKernel derivative: parts are not disjoint OnDims "
+                    f"factors, and {bad} have closed-form derivative "
+                    f"covariances (|tau| kernels are WRONG under the autodiff "
+                    f"tower at coincident points). Wrap each factor as "
+                    f"OnDims(kernel, dims) with disjoint dims."
+                )
             return None
         fns = []
         for k, d in zip(self.parts, dims):

@@ -118,6 +118,8 @@ class Matern(StationaryKernel, MarkovKernel):
         and ∂^m_{x1}∂^n_{x2} k(x1−x2) = (−1)ⁿ k⁽ᵐ⁺ⁿ⁾(τ). Valid for
         m, n ≤ p (the orders the Markov state carries); cross-gated against
         the state-space filter in tests/test_deriv_zoo.py."""
+        if not (a or b):
+            return None  # value block: k_scalar is exact for any input dim
         if any(i != 0 for i in (*a, *b)):
             raise ValueError("Matern is 1-D (temporal); derivative dims must be 0")
         m, n = len(a), len(b)
@@ -146,7 +148,15 @@ class Matern(StationaryKernel, MarkovKernel):
 
         def fn(x1, x2):
             lam = self._lam
-            tau = jnp.ravel(jnp.atleast_1d(x1))[0] - jnp.ravel(jnp.atleast_1d(x2))[0]
+            x1 = jnp.ravel(jnp.atleast_1d(x1))
+            x2 = jnp.ravel(jnp.atleast_1d(x2))
+            if x1.shape[0] != 1 or x2.shape[0] != 1:
+                raise ValueError(
+                    f"Matern.k_deriv_fn is 1-D (temporal) but got inputs of "
+                    f"dim {x1.shape[0]}; route the Matern factor through "
+                    f"OnDims(matern, (t_dim,)) inside a ProductKernel"
+                )
+            tau = x1[0] - x2[0]
             u = lam * jnp.abs(tau)
             poly = c[p]
             for k in range(p - 1, -1, -1):  # Horner

@@ -52,30 +52,19 @@ def _noise_list(noise, n_blocks, fixed, dtype):
     return [_param(v, fixed, dtype) for v in vs]
 
 
-def deriv_gp(
-    X,
-    Y,
-    time_diff=1,
-    space_diff=1,
-    kernel=None,
-    noise=0.1,
-    fix_noise: bool = False,
-    dtype=jnp.float64,
-):
-    """Batch GP observing [f, ∂t^o f…, ∂_i^o f…] (ref `zoo/diff.py:25`).
+def _as_col(A, dtype):
+    """1-D point arrays are COLUMNS (N points in 1-D), matching X handling."""
+    A = np.asarray(A, float)
+    if A.ndim == 1:
+        A = A[:, None]
+    return jnp.asarray(A, dtype)
 
-    X [N, D] (column 0 = time when D > 1; D == 1 → temporal only, space
-    orders ignored); Y [N, P] data-major with P = 1 + |time orders| +
-    (D-1)·|space orders| columns in that block order (NaN = missing).
-    """
+
+def _batch_deriv_parts(X, Y, time_diff, space_diff, kernel, dtype):
+    """Shared deriv_gp/deriv_vgp assembly: inputs, op list, joint kernel."""
     from ..kernels import RBF, DerivativeKernel
-    from ..likelihoods.gaussian import IndependentGaussian
-    from ..models.batch_gp import BatchGP
 
-    X = np.asarray(X, float)
-    if X.ndim == 1:
-        X = X[:, None]
-    X = jnp.asarray(X, dtype)
+    X = _as_col(X, dtype)
     D = X.shape[1]
     ops = [()]
     ops += [(0,) * o for o in diff_orders(time_diff)]
@@ -92,8 +81,32 @@ def deriv_gp(
         raise ValueError(
             f"Y has {Y.shape[1]} columns; the diff spec produces {len(ops)} "
             f"outputs [f, {len(diff_orders(time_diff))} time orders, "
-            f"{(D - 1)} spatial dims x {len(diff_orders(space_diff)) if D > 1 else 0} orders]"
+            f"{D - 1} spatial dims x "
+            f"{len(diff_orders(space_diff)) if D > 1 else 0} orders]"
         )
+    return X, Y, kern, ops
+
+
+def deriv_gp(
+    X,
+    Y,
+    time_diff=1,
+    space_diff=1,
+    kernel=None,
+    noise=0.1,
+    fix_noise: bool = False,
+    dtype=jnp.float64,
+):
+    """Batch GP observing [f, ∂t^o f…, ∂_i^o f…] (ref `zoo/diff.py:25`).
+
+    X [N, D] (column 0 = time when D > 1; D == 1 → temporal only, space
+    orders ignored); Y [N, P] data-major with P = 1 + |time orders| +
+    (D-1)·|space orders| columns in that block order (NaN = missing).
+    """
+    from ..likelihoods.gaussian import IndependentGaussian
+    from ..models.batch_gp import BatchGP
+
+    X, Y, kern, ops = _batch_deriv_parts(X, Y, time_diff, space_diff, kernel, dtype)
     lik = IndependentGaussian(
         variances=_noise_list(noise, len(ops), fix_noise, dtype)
     )
@@ -124,30 +137,10 @@ def deriv_vgp(
     `noise`. Conjugate case is gated == `deriv_gp`'s exact posterior via
     one lr=1 natural-gradient step (tests/test_deriv_zoo.py).
     """
-    from ..kernels import RBF, DerivativeKernel
     from ..likelihoods.nongaussian import PerOutputLikelihood
     from ..models.svgp import SVGP
 
-    X = np.asarray(X, float)
-    if X.ndim == 1:
-        X = X[:, None]
-    X = jnp.asarray(X, dtype)
-    D = X.shape[1]
-    ops = [()]
-    ops += [(0,) * o for o in diff_orders(time_diff)]
-    if D > 1:
-        for i in range(1, D):
-            ops += [(i,) * o for o in diff_orders(space_diff)]
-    kernel = kernel or RBF(
-        lengthscales=positive_param(jnp.ones(D, dtype)),
-        variance=positive_param(jnp.asarray(1.0, dtype)),
-    )
-    kern = DerivativeKernel(base=kernel, ops=tuple(ops))
-    Y = jnp.asarray(Y, dtype)
-    if Y.shape[1] != len(ops):
-        raise ValueError(
-            f"Y has {Y.shape[1]} columns; the diff spec produces {len(ops)} outputs"
-        )
+    X, Y, kern, ops = _batch_deriv_parts(X, Y, time_diff, space_diff, kernel, dtype)
     if liks is None:
         from ..likelihoods.gaussian import Gaussian
 
@@ -158,7 +151,11 @@ def deriv_vgp(
     if len(liks) != len(ops):
         raise ValueError(f"liks has {len(liks)} entries; expected {len(ops)}")
     lik = PerOutputLikelihood(liks=list(liks))
-    Z = X if Z is None else jnp.asarray(np.atleast_2d(Z), dtype)
+    Z = X if Z is None else _as_col(Z, dtype)
+    if Z.shape[1] != X.shape[1]:
+        raise ValueError(
+            f"Z has {Z.shape[1]} input dims; X has {X.shape[1]}"
+        )
     return SVGP.init(X, Y, Z, kern, lik, whiten=whiten)
 
 
@@ -260,13 +257,17 @@ def deriv_st_gp(
         s_grad2,
     )
 
-    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    Z = _as_col(Z, dtype)
     Ns, ds = Z.shape
     t_orders = diff_orders(time_diff)
     s_orders = diff_orders(space_diff)
     if any(o > 2 for o in s_orders):
         raise ValueError("spatial orders above 2 are not implemented")
     sparse = Zs is not None
+    if sparse:
+        Zs = _as_col(Zs, dtype)
+        if Zs.shape[1] != ds:
+            raise ValueError(f"Zs has {Zs.shape[1]} spatial dims; Z has {ds}")
     kern = SpatioTemporalKernel(
         k_time=k_time
         or Matern32(lengthscale=jnp.asarray(1.0, dtype),
@@ -274,7 +275,7 @@ def deriv_st_gp(
         k_space=k_space
         or RBF(lengthscales=positive_param(jnp.ones(ds, dtype)),
                variance=positive_param(jnp.asarray(1.0, dtype))),
-        Z=jnp.asarray(np.atleast_2d(Zs), dtype) if sparse else Z,
+        Z=Zs if sparse else Z,
     )
 
     def sh(t_order=0, s_op=None):

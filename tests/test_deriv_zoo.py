@@ -64,6 +64,13 @@ def test_temporal_sde_matches_batch(time_diff, parallel, sqrt):
     )
 
 
+def _kd(k, a, b):
+    """Closed form or autodiff fallback — the DerivativeKernel contract."""
+    from physs_gp_tpu.kernels.base import autodiff_deriv_fn
+
+    return k.k_deriv_fn(a, b) or autodiff_deriv_fn(k.k_scalar, a, b)
+
+
 def _d1(i):
     """op: kfn -> (s, z) -> ∂_{s_i} kfn(s, z)."""
     return lambda kfn: lambda s, z: jax.grad(kfn, argnums=0)(s, z)[i]
@@ -120,7 +127,7 @@ def _hierarchical_dense_lml(t, Y, Z, Zs, k_t, k_s, s_orders, noise,
                 both = L(f1s)  # (z, s) -> L_z (L_s k)(s, z)
                 kss = np.asarray(jax.vmap(lambda z: both(z, z))(Z))
             resid = np.maximum(kss - np.sum(W * cross, axis=1), 0.0)
-            tvar = float(k_t.k_deriv_fn((0,) * o, (0,) * o)(t[:1], t[:1]))
+            tvar = float(_kd(k_t, (0,) * o, (0,) * o)(t[:1], t[:1]))
             corrs.append(tvar * resid)
         else:
             corrs.append(np.zeros(Ns))
@@ -129,7 +136,7 @@ def _hierarchical_dense_lml(t, Y, Z, Zs, k_t, k_s, s_orders, noise,
     KT = np.empty((P, P, T, T))
     for p, (o, _) in enumerate(heads):
         for q, (o2, _) in enumerate(heads):
-            fn = k_t.k_deriv_fn((0,) * o, (0,) * o2)
+            fn = _kd(k_t, (0,) * o, (0,) * o2)
             KT[p, q] = _cross(fn, tj, tj)
     M = np.einsum("pik,kl,qjl->piqj", np.stack(Ws), Kzz, np.stack(Ws))
     C = np.einsum("pqts,piqj->tpisqj", KT, M).reshape(T * P * Ns, T * P * Ns)
@@ -217,11 +224,11 @@ def test_matern_k_deriv_fn_offdiag_matches_autodiff():
     for m in range(3):
         for n in range(3):
             a, b = (0,) * m, (0,) * n
-            closed = k.k_deriv_fn(a, b)(x1, x2)
+            closed = _kd(k, a, b)(x1, x2)
             auto = autodiff_deriv_fn(k.k_scalar, a, b)(x1, x2)
             np.testing.assert_allclose(float(closed), float(auto), rtol=1e-9)
             # and the swapped-sign direction
-            closed2 = k.k_deriv_fn(a, b)(x2, x1)
+            closed2 = _kd(k, a, b)(x2, x1)
             auto2 = autodiff_deriv_fn(k.k_scalar, a, b)(x2, x1)
             np.testing.assert_allclose(float(closed2), float(auto2),
                                        rtol=1e-9)
@@ -369,6 +376,63 @@ def test_vgp_predict_y_per_output():
     p = np.asarray(y.mean)[:, 1]
     assert ((p >= 0) & (p <= 1)).all()
     assert np.asarray(y.var)[:, 1].max() <= 0.2500001  # Bernoulli bound
+
+
+def test_matern_deriv_multidim_raises():
+    """Matern closed form is 1-D: a multi-D Matern base in DerivativeKernel
+    must raise at trace time (previously returned a Gram that silently
+    dropped every input dim but the first), while the value-only op list
+    stays exact for any D via k_scalar."""
+    from physs_gp_tpu.kernels import DerivativeKernel
+
+    k = Matern52(lengthscale=0.9, variance=1.2)
+    X = np.array([[0.3, 1.0], [0.3, -1.0]])
+    kv = DerivativeKernel(base=k, ops=((),))
+    np.testing.assert_allclose(
+        np.asarray(kv.K(X, X))[0, 1],
+        float(k.k_scalar(jnp.asarray(X[0]), jnp.asarray(X[1]))),
+        rtol=1e-12,
+    )
+    kd = DerivativeKernel(base=k, ops=((), (1,)))
+    with pytest.raises(ValueError, match="1-D"):
+        kd.K(X, X)
+
+
+def test_matern_product_without_ondims_raises():
+    """A Matern-containing product that cannot factorise over disjoint
+    OnDims dims must raise, not silently run the (wrong-at-tau=0)
+    autodiff tower."""
+    from physs_gp_tpu.kernels import DerivativeKernel
+
+    k = Matern32(lengthscale=0.7, variance=1.3) * RBF(
+        lengthscales=positive_param(jnp.asarray([0.9])),
+        variance=positive_param(1.1),
+    )
+    kd = DerivativeKernel(base=k, ops=((), (0,)))
+    X = np.linspace(0, 1, 3)[:, None]
+    with pytest.raises(ValueError, match="OnDims"):
+        kd.K_diag(X)
+
+
+def test_vgp_1d_Z_is_column():
+    """1-D inducing arrays are N points in 1-D (column), like X."""
+    from physs_gp_tpu.zoo import deriv_vgp
+
+    rng = np.random.default_rng(11)
+    X = np.sort(rng.uniform(0, 2, 7))
+    Y = rng.normal(size=(7, 2))
+    Zc = np.linspace(0, 2, 5)
+    m1 = deriv_vgp(X, Y, time_diff=1, space_diff=None,
+                   kernel=Matern52(lengthscale=0.8, variance=1.0), Z=Zc)
+    m2 = deriv_vgp(X, Y, time_diff=1, space_diff=None,
+                   kernel=Matern52(lengthscale=0.8, variance=1.0),
+                   Z=Zc[:, None])
+    assert m1.Z.shape == (5, 1)
+    np.testing.assert_allclose(float(m1.elbo()), float(m2.elbo()), rtol=1e-12)
+    with pytest.raises(ValueError, match="input dims"):
+        deriv_vgp(X, Y, time_diff=1, space_diff=None,
+                  kernel=Matern52(lengthscale=0.8, variance=1.0),
+                  Z=np.zeros((4, 2)))
 
 
 def test_column_count_errors():
