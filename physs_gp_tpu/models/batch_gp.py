@@ -118,6 +118,20 @@ class BatchGP:
         nv = self._noise_diag(Ns).reshape(Ns, self.n_outputs)
         return GaussianMoments(mean=f.mean, var=f.var + nv)
 
+    def sample_f(self, key, Xs, n_samples: int) -> jnp.ndarray:
+        """JOINT posterior samples [S, Ns, P] at Xs (ref `models/vgp.py:284`
+        samples surface, diagonal=False): mean + chol(posterior cov) ε."""
+        import jax
+
+        from ..ops.matrix import safe_cholesky_rel
+
+        mean, cov = self.predict_f(Xs, full_cov=True)
+        Lc = safe_cholesky_rel(cov)
+        eps = jax.random.normal(key, (n_samples, cov.shape[0]), cov.dtype)
+        return mean[None] + (eps @ Lc.T).reshape(
+            n_samples, *mean.shape
+        )
+
     def nlpd(self, Xs, Ys) -> jnp.ndarray:
         """Mean negative log predictive density (Gaussian closed form)."""
         py = self.predict_y(Xs)

@@ -261,6 +261,12 @@ class CVIGP:
             mesh_axis=self.mesh_axis,
         )
 
+    def sample_f(self, key, n_samples: int, t_new=None):
+        """JOINT posterior sample paths [S, T*, p]: q(f) is the surrogate's
+        smoothed posterior, so sampling delegates to the surrogate
+        `StateSpaceGP.sample_f` (Matheron pathwise conditioning)."""
+        return self.surrogate_model().sample_f(key, n_samples, t_new=t_new)
+
     def predict_f(self, t_new) -> GaussianMoments:
         """q(f) at new inputs via the surrogate's NaN-augmentation path."""
         out = self.surrogate_model().predict_f(t_new)

@@ -186,6 +186,59 @@ class StateSpaceGP:
             return GaussianMoments(f.mean, f.var + self.likelihood.variance.value)
         return f
 
+    def sample_f(self, key, n_samples: int, t_new=None) -> jnp.ndarray:
+        """JOINT posterior sample paths of the heads, [S, T*, p] — Matheron
+        pathwise conditioning (ref `models/vgp.py:284` samples surface):
+        prior trajectories by parallel affine scan + one vmapped smoother
+        pass (`ops/sampling.py`). `t_new=None` samples at the training
+        times; otherwise at `t_new` (augmented-grid smoother, like
+        `predict_f`). Joint over time — credible bands of path functionals
+        (extrema, crossings, integrals) that marginal vars cannot give.
+        """
+        from ..ops.sampling import matheron_state_samples
+
+        ssm, R = self._filter_inputs()
+        mu = self._mu()
+        Yc = self.Y if mu is None else self.Y - mu
+        t_eval = None
+        if t_new is not None:
+            if ssm.H.ndim == 3:
+                raise ValueError(
+                    "sample_f at new times does not support time-varying "
+                    "observation operators; sample on the training grid or "
+                    "use zoo.scattered_st_predict for moments."
+                )
+            t_new = jnp.ravel(t_new)
+            T, p = self.Y.shape
+            t_all = jnp.concatenate([self.t, t_new])
+            Y_all = jnp.concatenate(
+                [Yc, jnp.full((t_new.shape[0], p), jnp.nan, self.Y.dtype)]
+            )
+            R_all = jnp.concatenate(
+                [R, jnp.broadcast_to(jnp.eye(p, dtype=R.dtype),
+                                     (t_new.shape[0], p, p))]
+            )
+            order = jnp.argsort(t_all, stable=True)
+            inv = jnp.argsort(order)
+            ssm = build_lgssm(self.kernel, t_all[order])
+            if self.observation is not None:
+                ssm = ssm._replace(H=self.observation.H(self.kernel))
+            Yc, R = Y_all[order], R_all[order]
+            t_eval = (inv, self.t.shape[0])
+        xs = matheron_state_samples(
+            key, ssm, R, Yc, n_samples, parallel=self.parallel,
+            sqrt=self.sqrt, chunk_size=self.chunk_size,
+        )  # [S, T*, d]
+        f = jax.vmap(lambda x: project_mean(ssm.H, x))(xs)
+        if t_eval is not None:
+            inv, T0 = t_eval
+            f = f[:, inv][:, T0:]
+            if mu is not None:
+                f = f + self._mu(t=t_new)[None]
+        elif mu is not None:
+            f = f + mu[None]
+        return f
+
 
 @module
 class StateSpaceGPView:

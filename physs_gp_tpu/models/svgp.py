@@ -175,6 +175,35 @@ class SVGP:
         P = getattr(self.kernel, "n_outputs", 1)
         return GaussianMoments(mean=mean.reshape(-1, P), var=var.reshape(-1, P))
 
+    @highest_precision
+    def _joint(self, Xs):
+        """q(f) at Xs with the FULL [Ns*P, Ns*P] covariance."""
+        Kzz = self.kernel.K(self.Z, self.Z)
+        Lz = _chol_gram(Kzz)
+        Kzx = self.kernel.K(self.Z, Xs)
+        A = solve_lower(Lz, Kzx)
+        m, L = self._q()
+        Kss = self.kernel.K(Xs, Xs)
+        if self.whiten:
+            mean = A.T @ m
+            SA = L.T @ A
+            cov = Kss - A.T @ A + SA.T @ SA
+        else:
+            B = jax.scipy.linalg.solve_triangular(Lz.T, A, lower=False)
+            mean = B.T @ m
+            SB = L.T @ B
+            cov = Kss - A.T @ A + SB.T @ SB
+        return mean, cov
+
+    def sample_f(self, key, Xs, n_samples: int) -> jnp.ndarray:
+        """JOINT q(f) samples [S, Ns, P] at Xs (ref `models/vgp.py:284`,
+        diagonal=False)."""
+        mean, cov = self._joint(jnp.atleast_2d(Xs))
+        Lc = safe_cholesky_rel(cov)
+        eps = jax.random.normal(key, (n_samples, cov.shape[0]), cov.dtype)
+        P = getattr(self.kernel, "n_outputs", 1)
+        return (mean[None] + eps @ Lc.T).reshape(n_samples, -1, P)
+
     def predict_y(self, Xs, gh_points: int = 20) -> GaussianMoments:
         from ..ops.quadrature import expect_gh
 

@@ -1,0 +1,105 @@
+"""Trajectory sampling for linear-Gaussian SSMs — prior scans + Matheron
+posterior samples.
+
+TPU-native counterpart of the reference's `VGP.samples` surface
+(`models/vgp.py:284`, `computation/integrals/samples.py`): the reference
+draws from dense marginals; here joint POSTERIOR trajectories come from
+Matheron's rule (pathwise conditioning),
+
+    x_post = x~ + E[x | Y] − E[x | Y~],      (x~, Y~) ~ prior model,
+
+so a sample costs one prior trajectory + one smoother pass — O(T) work,
+O(log T) depth, and every operation is machinery the filters already have.
+The prior trajectory itself is the first-order affine recurrence
+x_k = A_k x_{k−1} + c_k, which is associative in (A, c):
+
+    (A₂, c₂) ∘ (A₁, c₁) = (A₂A₁, A₂c₁ + c₂),
+
+one more `associative_scan` of batched d×d matmuls (MXU-shaped), NOT a
+sequential loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .matrix import highest_precision, safe_cholesky
+
+__all__ = ["sample_lgssm_states", "matheron_state_samples"]
+
+
+def _affine_combine(e1, e2):
+    """(A, c) composition; c carries a leading sample axis after the scan
+    axis: A [L, d, d], c [L, S, d]."""
+    A1, c1 = e1
+    A2, c2 = e2
+    return A2 @ A1, jnp.einsum("lij,lsj->lsi", A2, c1) + c2
+
+
+@highest_precision
+def sample_lgssm_states(key, ssm, n_samples: int, parallel: bool = True):
+    """n prior state trajectories [S, T, d] of the LGSSM.
+
+    Convention (ops/lgssm.py): A[0] = I, Q[0] = 0 and the step-1 prior is
+    N(m0, P0); the scan element at t = 0 is therefore (0, m0 + L₀ε₀) — it
+    ignores the carry — and element t ≥ 1 is (A_t, L_{Q_t} ε_t).
+    Zero-noise steps (periodic rotations, the t = 0 element) draw through
+    `safe_cholesky`'s jitter floor: O(√jitter) perturbation, far below
+    every observation noise in practice.
+    """
+    T, d = ssm.A.shape[0], ssm.A.shape[-1]
+    dtype = ssm.A.dtype
+    eps = jax.random.normal(key, (T, n_samples, d), dtype)
+    LQ = safe_cholesky(ssm.Q)  # [T, d, d]
+    L0 = safe_cholesky(ssm.P0)
+    c = jnp.einsum("tij,tsj->tsi", LQ.at[0].set(L0), eps)
+    c = c.at[0].add(ssm.m0)
+    A = ssm.A.at[0].set(jnp.zeros((d, d), dtype))
+    if parallel:
+        _, xs = jax.lax.associative_scan(_affine_combine, (A, c))
+    else:
+        def step(x, e):
+            A_t, c_t = e
+            x = x @ A_t.T + c_t  # [S, d]
+            return x, x
+
+        _, xs = jax.lax.scan(step, jnp.zeros((n_samples, d), dtype), (A, c))
+    return jnp.swapaxes(xs, 0, 1)  # [S, T, d]
+
+
+def matheron_state_samples(key, ssm, R, Y, n_samples: int,
+                           parallel: bool = True, sqrt: bool = False,
+                           chunk_size=None):
+    """Joint posterior STATE samples [S, T, d] given observations Y [T, p]
+    (NaN = missing) by pathwise conditioning.
+
+    Draw (x~, Y~) from the prior model (Y~ keeps Y's NaN pattern — the
+    conditioning set must match), smooth the data and every pseudo-dataset
+    in ONE vmapped pass, and shift:  x_s = x~_s + ms(Y) − ms(Y~_s).
+    Exact for any prior mean m0 (the affine smoother offset cancels).
+    """
+    from .runner import run_filter_smoother
+
+    k_x, k_y = jax.random.split(key)
+    T, p = Y.shape
+    xprior = sample_lgssm_states(k_x, ssm, n_samples, parallel=parallel)
+    # pseudo-observations: marginalising a joint chol(R) draw onto the
+    # observed entries IS the observed-block noise marginal, so no masking
+    # is needed here (the smoother masks)
+    LR = safe_cholesky(R)  # [T, p, p]
+    eps_y = jax.random.normal(k_y, (n_samples, T, p), Y.dtype)
+    from .lgssm import project_mean
+
+    y_noise = jnp.einsum("tij,stj->sti", LR, eps_y)
+    Yt = jax.vmap(lambda x: project_mean(ssm.H, x))(xprior) + y_noise
+    Yt = jnp.where(jnp.isnan(Y)[None], jnp.nan, Yt)  # copy the pattern
+    Y_all = jnp.concatenate([Y[None], Yt])  # [S+1, T, p]
+
+    def smooth_one(Yb):
+        _, s = run_filter_smoother(
+            ssm, R, Yb, parallel=parallel, sqrt=sqrt, chunk_size=chunk_size
+        )
+        return s.ms
+
+    ms = jax.vmap(smooth_one)(Y_all)  # [S+1, T, d]
+    return xprior + ms[0][None] - ms[1:]
