@@ -25,9 +25,21 @@ def parse_args(name: str, extra=None):
     p.add_argument("--quick", action="store_true", help="small CI-scale run")
     p.add_argument("--out", default="results", help="results directory")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend + fp64 (JAX_PLATFORMS env alone is NOT "
+        "honored once the TPU plugin is on the path; must be the config "
+        "update, before any jax op)",
+    )
     if extra:
         extra(p)
-    return p.parse_args()
+    args = p.parse_args()
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    return args
 
 
 class Timer:

@@ -92,7 +92,15 @@ class BatchGP:
     def predict_f(self, Xs, full_cov: bool = False):
         """Posterior q(f*) at new inputs: [Ns, P] moments (data-major)."""
         L, y0, mask = self._masked_chol()
-        Xs = jnp.atleast_2d(Xs)
+        Xs = jnp.asarray(Xs)
+        if Xs.ndim == 1:  # N points in 1-D, NOT one N-dim row
+            Xs = Xs[:, None]
+        D = self.X.shape[-1] if self.X.ndim > 1 else 1
+        if Xs.shape[-1] != D:
+            raise ValueError(
+                f"query points have {Xs.shape[-1]} input dims; the model's X "
+                f"has {D}"
+            )
         P = self.n_outputs
         Kxs = self.kernel.K(self.X, Xs)  # [N*P, Ns*P]
         Kxs = Kxs * mask[:, None]  # zero rows for missing entries

@@ -52,7 +52,15 @@ class SVGP:
 
     @classmethod
     def init(cls, X, Y, Z, kernel, likelihood, whiten=True):
-        X, Y, Z = jnp.atleast_2d(X), jnp.atleast_2d(Y), jnp.atleast_2d(Z)
+        def col(a):  # 1-D arrays are N points/targets in 1-D, NOT one row
+            a = jnp.asarray(a)
+            return a[:, None] if a.ndim == 1 else a
+
+        X, Y, Z = col(X), col(Y), col(Z)
+        if Z.shape[-1] != X.shape[-1]:
+            raise ValueError(
+                f"Z has {Z.shape[-1]} input dims; X has {X.shape[-1]}"
+            )
         P = getattr(kernel, "n_outputs", 1)
         M = Z.shape[0] * P
         return cls(
@@ -63,6 +71,20 @@ class SVGP:
         )
 
     # ---- internals ----
+    def _as_points(self, Xs):
+        """1-D query arrays are N points in 1-D (columns) — atleast_2d would
+        silently make them ONE N-dim row."""
+        Xs = jnp.asarray(Xs)
+        if Xs.ndim == 1:
+            Xs = Xs[:, None]
+        D = self.X.shape[-1] if self.X.ndim > 1 else 1
+        if Xs.shape[-1] != D:
+            raise ValueError(
+                f"query points have {Xs.shape[-1]} input dims; the model's X "
+                f"has {D}"
+            )
+        return Xs
+
     @property
     def _M(self) -> int:
         return self.Z.shape[0] * getattr(self.kernel, "n_outputs", 1)
@@ -171,7 +193,7 @@ class SVGP:
         )
 
     def predict_f(self, Xs) -> GaussianMoments:
-        mean, var = highest_precision(self._marginals)(jnp.atleast_2d(Xs))
+        mean, var = highest_precision(self._marginals)(self._as_points(Xs))
         P = getattr(self.kernel, "n_outputs", 1)
         return GaussianMoments(mean=mean.reshape(-1, P), var=var.reshape(-1, P))
 
@@ -198,7 +220,7 @@ class SVGP:
     def sample_f(self, key, Xs, n_samples: int) -> jnp.ndarray:
         """JOINT q(f) samples [S, Ns, P] at Xs (ref `models/vgp.py:284`,
         diagonal=False)."""
-        mean, cov = self._joint(jnp.atleast_2d(Xs))
+        mean, cov = self._joint(self._as_points(Xs))
         Lc = safe_cholesky_rel(cov)
         eps = jax.random.normal(key, (n_samples, cov.shape[0]), cov.dtype)
         P = getattr(self.kernel, "n_outputs", 1)
