@@ -227,7 +227,8 @@ class StateSpaceGP:
             t_eval = (inv, self.t.shape[0])
         xs = matheron_state_samples(
             key, ssm, R, Yc, n_samples, parallel=self.parallel,
-            sqrt=self.sqrt, chunk_size=self.chunk_size,
+            sqrt=self.sqrt, chunk_size=self.chunk_size, mesh=self.mesh,
+            mesh_axis=self.mesh_axis,
         )  # [S, T*, d]
         f = jax.vmap(lambda x: project_mean(ssm.H, x))(xs)
         if t_eval is not None:

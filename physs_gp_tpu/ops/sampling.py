@@ -69,7 +69,7 @@ def sample_lgssm_states(key, ssm, n_samples: int, parallel: bool = True):
 
 def matheron_state_samples(key, ssm, R, Y, n_samples: int,
                            parallel: bool = True, sqrt: bool = False,
-                           chunk_size=None):
+                           chunk_size=None, mesh=None, mesh_axis: str = "t"):
     """Joint posterior STATE samples [S, T, d] given observations Y [T, p]
     (NaN = missing) by pathwise conditioning.
 
@@ -97,9 +97,16 @@ def matheron_state_samples(key, ssm, R, Y, n_samples: int,
 
     def smooth_one(Yb):
         _, s = run_filter_smoother(
-            ssm, R, Yb, parallel=parallel, sqrt=sqrt, chunk_size=chunk_size
+            ssm, R, Yb, parallel=parallel, sqrt=sqrt, chunk_size=chunk_size,
+            mesh=mesh, mesh_axis=mesh_axis,
         )
         return s.ms
 
-    ms = jax.vmap(smooth_one)(Y_all)  # [S+1, T, d]
+    if mesh is not None:
+        # multi-chip: one time-sharded smoother per pseudo-dataset (A/Q/R
+        # stay shared and replicated — vmapping would force a [S, T, d, d]
+        # per-sample transition tensor through the mesh)
+        ms = jax.lax.map(smooth_one, Y_all)
+    else:
+        ms = jax.vmap(smooth_one)(Y_all)  # [S+1, T, d]
     return xprior + ms[0][None] - ms[1:]

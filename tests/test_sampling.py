@@ -135,6 +135,31 @@ def test_cvi_sample_matches_exact_posterior():
                                np.asarray(exact.var)[:, 0], atol=0.05)
 
 
+def test_mesh_samples_match_single_device():
+    """Time-sharded (8-chip mesh) Matheron samples == single-device samples
+    with the same key (the sharded smoother is exact)."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("t",))
+    rng = np.random.default_rng(6)
+    T = 64
+    t = np.sort(rng.uniform(0, 10, T))
+    y = np.sin(t) + 0.2 * rng.normal(size=T)
+    y[5] = np.nan
+    base = dict(
+        t=jnp.asarray(t), Y=jnp.asarray(y)[:, None],
+        kernel=Matern32(lengthscale=1.0, variance=1.0),
+        likelihood=Gaussian(positive_param(0.05)),
+    )
+    key = jax.random.PRNGKey(7)
+    m1 = StateSpaceGP(**base, parallel=True)
+    m2 = StateSpaceGP(**base, mesh=mesh)
+    f1 = jax.jit(lambda: m1.sample_f(key, 3))()
+    f2 = jax.jit(lambda: m2.sample_f(key, 3))()
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-8)
+
+
 def test_batch_and_svgp_samples():
     """BatchGP / SVGP joint samples reproduce their own predictive moments
     (and the two models agree on the conjugate problem)."""
