@@ -26,7 +26,9 @@ def uniform_box_nodes(lows, highs, n_per_dim: int = 4):
     lows/highs: [R, D] box bounds per region. Returns nodes [R, Q, D] and
     weights [R, Q] (averaging weights summing to 1 per region).
     """
-    lows, highs = np.atleast_2d(lows), np.atleast_2d(highs)
+    lows, highs = np.asarray(lows, float), np.asarray(highs, float)
+    if lows.ndim == 1:  # R regions in 1-D, NOT one R-dim box
+        lows, highs = lows[:, None], highs[:, None]
     R, D = lows.shape
     # midpoint rule per dim
     grids = []

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ..utils.params import Param, positive_param
 from ..utils.struct import field, module
-from .base import StationaryKernel
+from .base import _as_2d, StationaryKernel
 
 __all__ = ["RBF"]
 
@@ -35,8 +35,7 @@ class RBF(StationaryKernel):
             laplacian: sum_i d2k/ds_i^2 = k * (sum_i d_i^2/l_i^4 - sum_i 1/l_i^2)
         with d = S - Z and ARD lengthscales l.
         """
-        S = jnp.atleast_2d(S)
-        Z = jnp.atleast_2d(Z)
+        S, Z = _as_2d(S), _as_2d(Z)
         K = self.K(S, Z)  # [N, Ns]
         if kind == "identity":
             return K

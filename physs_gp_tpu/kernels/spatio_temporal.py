@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..ops.lgssm import LGSSM
 from ..ops.matrix import default_jitter, kron, kron_lift, safe_cholesky, symmetrize
 from ..utils.struct import field, module, static
-from .base import Kernel
+from .base import _as_2d, Kernel
 from .markov import noise_matrix, to_ss, transition_matrix
 
 __all__ = ["SpatioTemporalKernel"]
@@ -109,7 +109,7 @@ class SpatioTemporalKernel(Kernel):
         ref `kernels/diff_op.py` derivative cross-covariances) to
         k_s(., z) in its first argument; None = identity.
         """
-        Ksz = self._op_cross(jnp.atleast_2d(s_new), s_op)
+        Ksz = self._op_cross(_as_2d(s_new), s_op)
         L = safe_cholesky(self.Kzz())
         import jax.scipy.linalg as jsl
 
@@ -146,7 +146,7 @@ class SpatioTemporalKernel(Kernel):
         """
         import jax
 
-        s_new = jnp.atleast_2d(s_new)
+        s_new = _as_2d(s_new)
         w = self.spatial_weights(s_new, s_op)
         Ksz = self._op_cross(s_new, s_op)
         if s_op is None:

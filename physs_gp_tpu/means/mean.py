@@ -12,6 +12,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from ..utils.shapes import as_points as _as_points
+
 from ..utils.params import Param, param
 from ..utils.struct import field, module, static
 
@@ -33,7 +35,7 @@ class Mean:
         f = lambda x: self._scalar(x)
         for _ in range(order):
             f = (lambda g: lambda x: jax.grad(g)(x)[dim])(f)
-        X = jnp.atleast_2d(X)
+        X = _as_points(X)
         return jax.vmap(f)(X)
 
     def _scalar(self, x):
@@ -43,7 +45,7 @@ class Mean:
 @module
 class ZeroMean(Mean):
     def __call__(self, X):
-        X = jnp.atleast_2d(X)
+        X = _as_points(X)
         return jnp.zeros(X.shape[0], X.dtype)
 
 
@@ -52,7 +54,7 @@ class ConstantMean(Mean):
     c: Param = field(default_factory=lambda: param(0.0))
 
     def __call__(self, X):
-        X = jnp.atleast_2d(X)
+        X = _as_points(X)
         return jnp.broadcast_to(self.c.value, (X.shape[0],))
 
 
@@ -62,7 +64,7 @@ class LinearMean(Mean):
     b: Param = field(default_factory=lambda: param(0.0))
 
     def __call__(self, X):
-        X = jnp.atleast_2d(X)
+        X = _as_points(X)
         return X @ self.w.value + self.b.value
 
 
@@ -71,7 +73,7 @@ class FunctionMean(Mean):
     fn: Callable = static(default=None)
 
     def __call__(self, X):
-        X = jnp.atleast_2d(X)
+        X = _as_points(X)
         return jax.vmap(self.fn)(X)
 
 

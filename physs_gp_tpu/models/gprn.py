@@ -86,7 +86,9 @@ class GPRN:
     @classmethod
     def init(cls, X, Y, Z, kernel_w, kernel_g, n_latent=1, noise=0.1,
              n_mc=16, key=None, mixing: str = "plain"):
-        X, Y, Z = jnp.atleast_2d(X), jnp.atleast_2d(Y), jnp.atleast_2d(Z)
+        from ..utils.shapes import as_points
+
+        X, Y, Z = as_points(X), as_points(Y), as_points(Z)
         P = Y.shape[1]
         n_w = cls._n_w(mixing, P, n_latent)
         L_tot = n_w + n_latent
@@ -200,10 +202,13 @@ class GPRN:
 
     def predict_f(self, Xs, n_mc: int = 64) -> GaussianMoments:
         """MC moments of the mixed outputs at Xs."""
-        mu, var = highest_precision(self._marginals)(jnp.atleast_2d(Xs))
+        from ..utils.shapes import as_points
+
+        Xs = as_points(Xs)
+        mu, var = highest_precision(self._marginals)(Xs)
         P = self.Y.shape[1]
         L = self.n_latent
-        Ns = jnp.atleast_2d(Xs).shape[0]
+        Ns = Xs.shape[0]
         eps = jax.random.normal(
             jax.random.fold_in(self.key, 1), (n_mc,) + mu.shape, mu.dtype
         )

@@ -33,7 +33,9 @@ class LatentVariableGP:
              prior_var: float = 1.0, W0=None, key=None):
         import jax
 
-        X = jnp.atleast_2d(X)
+        from ..utils.shapes import as_points
+
+        X = as_points(X)
         N = X.shape[0]
         if W0 is None:
             key = key if key is not None else jax.random.PRNGKey(0)
@@ -64,12 +66,14 @@ class LatentVariableGP:
 
     def predict_f(self, X_new, W_new=None) -> GaussianMoments:
         """Predict at new inputs; W_new defaults to zeros (prior-mean latent)."""
-        X_new = jnp.atleast_2d(X_new)
+        from ..utils.shapes import as_points
+
+        X_new = as_points(X_new)
         if self.mode == "additive":
             Xq = X_new if W_new is None else X_new + W_new
         else:
             dw = self.W.value.shape[1]
             Wq = (jnp.zeros((X_new.shape[0], dw), X_new.dtype)
-                  if W_new is None else jnp.atleast_2d(W_new))
+                  if W_new is None else as_points(W_new))
             Xq = jnp.concatenate([X_new, Wq], axis=1)
         return self._augmented().predict_f(Xq)

@@ -94,7 +94,9 @@ class SpatioTemporalGP:
 
     def _predict_grid_impl(self, s_new, t_new):
         kern = self.core.kernel
-        s_new = jnp.atleast_2d(s_new)
+        from ..utils.shapes import as_points
+
+        s_new = as_points(s_new)
         if t_new is None:
             _, _, s = self.core.filter_smooth()
             ms, Ps = s.ms, s.Ps

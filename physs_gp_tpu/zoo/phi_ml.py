@@ -20,6 +20,7 @@ from ..kernels.rbf import RBF
 from ..likelihoods.gaussian import Gaussian
 from ..models.batch_gp import BatchGP
 from ..utils.params import positive_param
+from ..utils.shapes import as_points
 
 __all__ = [
     "curl_free_kernel",
@@ -57,7 +58,7 @@ def curl_free_gp(
 
     X [N, ds] positions; Y_field [N, ds] observed field components.
     """
-    X = jnp.asarray(np.atleast_2d(X), dtype)
+    X = as_points(X, dtype)
     ds = X.shape[1]
     base = base_kernel or RBF(
         lengthscales=positive_param(jnp.ones(ds, dtype)),
@@ -82,7 +83,7 @@ def helmholtz_gp(
 ) -> BatchGP:
     """2-D Helmholtz decomposition GP (ref `zoo/phi_ml.py:146`):
     u = curl-free + div-free components, each its own base GP."""
-    X = jnp.asarray(np.atleast_2d(X), dtype)
+    X = as_points(X, dtype)
     assert X.shape[1] == 2, "helmholtz_gp is the 2-D recipe"
 
     def default_base():
@@ -179,7 +180,7 @@ def helmholtz_st_gp(
     from ..models.ssgp import StateSpaceGP
     from ..transforms.operators import StateObservation
 
-    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    Z = as_points(Z, dtype)
     Ns = Z.shape[0]
     assert Z.shape[1] == 2, "helmholtz_st_gp is the 2-D-space recipe"
 
@@ -285,7 +286,7 @@ def magnetic_field_gp(
     from ..models.ssgp import StateSpaceGP
     from ..transforms.operators import StateObservation
 
-    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    Z = as_points(Z, dtype)
     Ns = Z.shape[0]
     assert Z.shape[1] == 2, "magnetic_field_gp takes 2 non-Markov coordinates"
     n_blocks = 4 if include_potential else 3
@@ -337,7 +338,7 @@ def magnetic_field_predict(model, s_new, include_potential: bool = False):
 
     if hasattr(model, "surrogate_model"):
         model = model.surrogate_model()
-    s_new = jnp.atleast_2d(jnp.asarray(s_new, model.t.dtype))
+    s_new = as_points(s_new, model.t.dtype)
     obs = StateObservation(
         heads=_magnetic_heads(s_new, include_potential, correction=True)
     )
@@ -365,7 +366,7 @@ def helmholtz_st_predict(model, s_new):
     if hasattr(model, "surrogate_model"):
         # CVI variant: the conjugate surrogate's smoothed posterior IS q
         model = model.surrogate_model()
-    s_new = jnp.atleast_2d(jnp.asarray(s_new, model.t.dtype))
+    s_new = as_points(s_new, model.t.dtype)
     obs = StateObservation(heads=_helmholtz_flow_heads(s_new, correction=True))
     H = obs.H(model.kernel)
     _, _, s = model.filter_smooth()

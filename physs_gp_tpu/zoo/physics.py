@@ -30,6 +30,7 @@ from ..transforms.operators import (
     ValueHead,
 )
 from ..utils.params import NegParam, Param, positive_param
+from ..utils.shapes import as_points
 
 __all__ = ["ode_gp", "monotonic_cvi_gp", "nonlinear_ode_cvi_gp", "allen_cahn_gp"]
 
@@ -207,8 +208,8 @@ def allen_cahn_gp(
         s_laplacian,
     )
 
-    Z = jnp.asarray(np.atleast_2d(Z), dtype)
-    coll = jnp.asarray(np.atleast_2d(coll_points), dtype)
+    Z = as_points(Z, dtype)
+    coll = as_points(coll_points, dtype)
     Ns, Nc = Z.shape[0], coll.shape[0]
     T = np.asarray(t).shape[0]
     kern = SpatioTemporalKernel(

@@ -26,6 +26,7 @@ from ..transforms.operators import (
     s_laplacian,
 )
 from ..utils.params import NegParam, Param, param, positive_param
+from ..utils.shapes import as_points
 
 __all__ = ["st_gp", "advection_diffusion_gp", "sparse_st_gp", "scattered_st_gp", "scattered_st_predict"]
 
@@ -104,7 +105,7 @@ def advection_diffusion_gp(
     """
     Z = jnp.asarray(Z, dtype)
     Ns = Z.shape[0]
-    coll_points = jnp.asarray(np.atleast_2d(coll_points), dtype)
+    coll_points = as_points(coll_points, dtype)
     Nc = coll_points.shape[0]
     ds = Z.shape[1]
     kern = SpatioTemporalKernel(
@@ -165,8 +166,8 @@ def sparse_st_gp(
     from ..models.ssgp import StateSpaceGP
     from ..transforms.operators import SpatialHead, StateObservation
 
-    X_space = jnp.asarray(np.atleast_2d(X_space), dtype)
-    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    X_space = as_points(X_space, dtype)
+    Z = as_points(Z, dtype)
     Nd = X_space.shape[0]
     kern = SpatioTemporalKernel(
         k_time=k_time or Matern32(lengthscale=1.0, variance=1.0),
@@ -235,7 +236,7 @@ def scattered_st_gp(
             Z = kmeans2(pts, n_inducing, minit="points", seed=0)[0]
         else:
             Z = np.unique(pts, axis=0)
-    Z = jnp.asarray(np.atleast_2d(Z), dtype)
+    Z = as_points(Z, dtype)
     kern = SpatioTemporalKernel(
         k_time=k_time or Matern32(lengthscale=1.0, variance=1.0),
         k_space=k_space or RBF(),
