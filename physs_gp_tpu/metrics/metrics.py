@@ -73,3 +73,29 @@ def response_curve(model, X_grid, feature: int = 0, X_ref=None, gh_points: int =
     pred = model.predict_f(Xs)
     lo, hi = confidence_interval(pred.mean, pred.var)
     return pred.mean, lo, hi
+
+
+def sample_confidence_intervals(model, key, n_samples: int = 256,
+                                t_new=None, Xs=None, level: float = 0.95,
+                                link=None):
+    """Median + central credible interval from JOINT posterior samples —
+    the reference's `VGP.confidence_intervals(XS, num_samples)` surface
+    (`models/vgp.py:306`): exact for non-Gaussian links/functionals where
+    the moment-based `confidence_interval` is only an approximation.
+
+    `model` needs `sample_f` (state-space models take `t_new=`, batch
+    models take `Xs=`); `link` optionally maps sampled f through the
+    likelihood's conditional mean (e.g. `lik.conditional_mean`). Returns
+    (median, lo, hi), each shaped like one sample's trailing dims.
+    """
+    if Xs is not None:
+        fs = model.sample_f(key, Xs, n_samples)
+    elif t_new is not None:
+        fs = model.sample_f(key, n_samples, t_new=t_new)
+    else:
+        fs = model.sample_f(key, n_samples)
+    if link is not None:
+        fs = link(fs)
+    a = (1.0 - level) / 2.0
+    qs = jnp.quantile(fs, jnp.asarray([a, 0.5, 1.0 - a]), axis=0)
+    return qs[1], qs[0], qs[2]

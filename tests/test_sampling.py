@@ -160,6 +160,37 @@ def test_mesh_samples_match_single_device():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-8)
 
 
+def test_sample_confidence_intervals():
+    """Sample-based CIs converge to the Gaussian closed form on a conjugate
+    model; a nonlinear link shifts them the right way (exp median < mean)."""
+    from physs_gp_tpu.metrics import confidence_interval, sample_confidence_intervals
+
+    rng = np.random.default_rng(8)
+    T = 8
+    t = _t(T, seed=8)
+    y = np.sin(t) + 0.2 * rng.normal(size=T)
+    m = StateSpaceGP(
+        t=jnp.asarray(t), Y=jnp.asarray(y)[:, None],
+        kernel=Matern32(lengthscale=1.0, variance=1.0),
+        likelihood=Gaussian(positive_param(0.05)),
+    )
+    med, lo, hi = sample_confidence_intervals(
+        m, jax.random.PRNGKey(8), n_samples=6000
+    )
+    post = m.posterior()
+    glo, ghi = confidence_interval(post.mean, post.var)
+    np.testing.assert_allclose(np.asarray(med), np.asarray(post.mean),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(glo), atol=0.08)
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(ghi), atol=0.08)
+    med_e, _, _ = sample_confidence_intervals(
+        m, jax.random.PRNGKey(8), n_samples=6000, link=jnp.exp
+    )
+    # exp is convex: the pushed-forward MEDIAN is exp(median) < E[exp(f)]
+    np.testing.assert_allclose(np.asarray(med_e), np.exp(np.asarray(med)),
+                               rtol=1e-6)
+
+
 def test_batch_and_svgp_samples():
     """BatchGP / SVGP joint samples reproduce their own predictive moments
     (and the two models agree on the conjugate problem)."""
