@@ -21,7 +21,7 @@ run() {
   echo "    rc=$? ($(tail -c 200 "$OUT/$name.log" | tr '\n' ' '))" \
     | tee -a "$OUT/summary.log"
 }
-run verify   python scripts/verify_ssgp.py
+run verify   python .claude/skills/verify/verify_ssgp.py
 run steps    python -u experiments/time_steps.py
 run profile  python -u experiments/profile_c5f.py
 run bench    python bench.py
