@@ -91,16 +91,10 @@ class BatchGP:
     @highest_precision
     def predict_f(self, Xs, full_cov: bool = False):
         """Posterior q(f*) at new inputs: [Ns, P] moments (data-major)."""
+        from ..utils.shapes import as_points
+
         L, y0, mask = self._masked_chol()
-        Xs = jnp.asarray(Xs)
-        if Xs.ndim == 1:  # N points in 1-D, NOT one N-dim row
-            Xs = Xs[:, None]
-        D = self.X.shape[-1] if self.X.ndim > 1 else 1
-        if Xs.shape[-1] != D:
-            raise ValueError(
-                f"query points have {Xs.shape[-1]} input dims; the model's X "
-                f"has {D}"
-            )
+        Xs = as_points(Xs, D=self.X.shape[-1] if self.X.ndim > 1 else 1)
         P = self.n_outputs
         Kxs = self.kernel.K(self.X, Xs)  # [N*P, Ns*P]
         Kxs = Kxs * mask[:, None]  # zero rows for missing entries
@@ -129,8 +123,6 @@ class BatchGP:
     def sample_f(self, key, Xs, n_samples: int) -> jnp.ndarray:
         """JOINT posterior samples [S, Ns, P] at Xs (ref `models/vgp.py:284`
         samples surface, diagonal=False): mean + chol(posterior cov) ε."""
-        import jax
-
         from ..ops.matrix import safe_cholesky_rel
 
         mean, cov = self.predict_f(Xs, full_cov=True)

@@ -194,9 +194,13 @@ class StateSpaceGP:
         times; otherwise at `t_new` (augmented-grid smoother, like
         `predict_f`). Joint over time — credible bands of path functionals
         (extrema, crossings, integrals) that marginal vars cannot give.
+        Off-site heads (`var_correction`) get their conditional residual as
+        an independent per-row draw, matching `posterior()`/`predict_f`
+        variances.
         """
         from ..ops.sampling import matheron_state_samples
 
+        key, k_corr = jax.random.split(key)
         ssm, R = self._filter_inputs()
         mu = self._mu()
         Yc = self.Y if mu is None else self.Y - mu
@@ -238,6 +242,13 @@ class StateSpaceGP:
                 f = f + self._mu(t=t_new)[None]
         elif mu is not None:
             f = f + mu[None]
+        if self.observation is not None:
+            corr = self.observation.var_correction(self.kernel)
+            if corr is not None:
+                # sample the off-site conditional residual (posterior() adds
+                # corr to var; sampled paths must carry the same dispersion)
+                sd = jnp.sqrt(jnp.broadcast_to(corr, f.shape[1:]))
+                f = f + sd * jax.random.normal(k_corr, f.shape, f.dtype)
         return f
 
 

@@ -52,15 +52,10 @@ class SVGP:
 
     @classmethod
     def init(cls, X, Y, Z, kernel, likelihood, whiten=True):
-        def col(a):  # 1-D arrays are N points/targets in 1-D, NOT one row
-            a = jnp.asarray(a)
-            return a[:, None] if a.ndim == 1 else a
+        from ..utils.shapes import as_points
 
-        X, Y, Z = col(X), col(Y), col(Z)
-        if Z.shape[-1] != X.shape[-1]:
-            raise ValueError(
-                f"Z has {Z.shape[-1]} input dims; X has {X.shape[-1]}"
-            )
+        X, Y = as_points(X), as_points(Y)
+        Z = as_points(Z, D=X.shape[-1], what="inducing inputs Z")
         P = getattr(kernel, "n_outputs", 1)
         M = Z.shape[0] * P
         return cls(
@@ -72,18 +67,9 @@ class SVGP:
 
     # ---- internals ----
     def _as_points(self, Xs):
-        """1-D query arrays are N points in 1-D (columns) — atleast_2d would
-        silently make them ONE N-dim row."""
-        Xs = jnp.asarray(Xs)
-        if Xs.ndim == 1:
-            Xs = Xs[:, None]
-        D = self.X.shape[-1] if self.X.ndim > 1 else 1
-        if Xs.shape[-1] != D:
-            raise ValueError(
-                f"query points have {Xs.shape[-1]} input dims; the model's X "
-                f"has {D}"
-            )
-        return Xs
+        from ..utils.shapes import as_points
+
+        return as_points(Xs, D=self.X.shape[-1] if self.X.ndim > 1 else 1)
 
     @property
     def _M(self) -> int:

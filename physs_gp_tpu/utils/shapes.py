@@ -14,11 +14,18 @@ import jax.numpy as jnp
 __all__ = ["as_points"]
 
 
-def as_points(A, dtype=None) -> jnp.ndarray:
-    """[N] -> [N, 1]; [N, D] unchanged; scalars become [1, 1]."""
+def as_points(A, dtype=None, D=None, what="query points") -> jnp.ndarray:
+    """[N] -> [N, 1]; [N, D] unchanged; scalars become [1, 1].
+
+    `D`: expected input dimension — raises a clear error on mismatch
+    (models pass their training-input dim)."""
     A = jnp.asarray(A, dtype) if dtype is not None else jnp.asarray(A)
     if A.ndim == 0:
         A = A[None]
     if A.ndim == 1:
         A = A[:, None]
+    if D is not None and A.shape[-1] != D:
+        raise ValueError(
+            f"{what} have {A.shape[-1]} input dims; expected {D}"
+        )
     return A

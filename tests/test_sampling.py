@@ -160,6 +160,53 @@ def test_mesh_samples_match_single_device():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-8)
 
 
+def test_chunked_prior_scan_matches():
+    """chunk_size (outer scan of inner prefixes) == the full associative
+    scan, bit-for-bit, including a non-divisible T (padding)."""
+    k = Matern52(lengthscale=0.7, variance=1.3)
+    ssm = build_lgssm(k, jnp.asarray(_t(103, seed=9)))
+    key = jax.random.PRNGKey(9)
+    full = jax.jit(lambda: sample_lgssm_states(key, ssm, 2))()
+    chunked = jax.jit(
+        lambda: sample_lgssm_states(key, ssm, 2, chunk_size=16)
+    )()
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-10)
+
+
+def test_zero_q_factor_has_no_jitter_floor():
+    """Exactly-zero Q (periodic rotations) must factor to ~0 — an absolute
+    jitter floor would inject a random walk that accumulates over T
+    (orthogonal A never decays it)."""
+    from physs_gp_tpu.ops.matrix import safe_cholesky_rel
+
+    for dt in (jnp.float32, jnp.float64):
+        L = safe_cholesky_rel(jnp.zeros((4, 3, 3), dt))
+        assert float(jnp.max(jnp.abs(L))) < 1e-12
+
+
+def test_correction_model_sample_variance():
+    """Off-site (DTC-corrected) models: sampled dispersion matches
+    posterior() — the conditional residual is drawn, not dropped."""
+    from physs_gp_tpu.zoo import deriv_st_gp
+
+    rng = np.random.default_rng(10)
+    T, Ns = 6, 5
+    t = np.sort(rng.uniform(0, 2, T))
+    Z = np.linspace(-1, 1, Ns)[:, None]
+    Zs = np.linspace(-0.8, 0.8, 3)[:, None]
+    Y = rng.normal(size=(T, 3 * Ns))
+    m = deriv_st_gp(t, Y, Z, time_diff=1, space_diff=1, Zs=Zs, noise=0.1,
+                    parallel=True)
+    post = m.posterior()
+    fs = jax.jit(lambda key: m.sample_f(key, 4000))(jax.random.PRNGKey(10))
+    sd_ref = np.sqrt(np.asarray(post.var))
+    np.testing.assert_allclose(np.asarray(fs).mean(0), np.asarray(post.mean),
+                               atol=4 * sd_ref.max() / np.sqrt(4000))
+    np.testing.assert_allclose(np.asarray(fs).var(0), np.asarray(post.var),
+                               rtol=0.15)
+
+
 def test_sample_confidence_intervals():
     """Sample-based CIs converge to the Gaussian closed form on a conjugate
     model; a nonlinear link shifts them the right way (exp median < mean)."""
