@@ -7,3 +7,4 @@ from .ekf_gp import NonlinearSSGP
 from .gprn import GPRN
 from .wrappers import LatentPredictor, MultiObjectiveModel
 from .lvgp import LatentVariableGP
+from .streaming import StreamingGP, StreamState, SegmentResult

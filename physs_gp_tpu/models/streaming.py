@@ -1,0 +1,196 @@
+"""Streaming / online state-space GP inference (serving path).
+
+The reference (`models/sde_gp.py`) is batch-only: every new observation
+re-runs the filter over ALL data. A Markov GP doesn't need that — the
+filtered state (m, P) at the last seen time is a sufficient statistic for
+everything in the past, so new data can be assimilated in O(new steps) and
+forecasts issued from the carried state alone. This module provides that
+production path on top of the existing filter variants (sequential /
+parallel-scan / square-root, `ops/runner.py`), with EXACT batch equivalence:
+streaming over segments reproduces the full-batch filter's lml, final state
+and per-step filtered moments bit-for-bit in fp64 (gated by
+`tests/test_streaming.py`).
+
+Mechanics: a segment is filtered by prepending ONE dummy step at the carried
+time `t_last` — A[0] = I, Q[0] = 0 (the builder's dt_0 = 0 convention,
+`ops/lgssm.build_lgssm`), an all-NaN observation row (masked update = no-op,
+lml contribution 0) — and overriding the builder's stationary init with the
+carried (m, P). Every downstream path (padding, chunking, sqrt refactoring)
+is reused unchanged; the dummy row also avoids the offset-by-one slice
+pathology (CLAUDE.md rule 9). Segment shapes are static, so a serving loop
+that feeds fixed-size batches (NaN-padded) compiles exactly once.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lgssm import build_lgssm, project_mean, project_var
+from ..ops.runner import run_filter
+from ..utils.struct import module, static
+from .ssgp import GaussianMoments
+
+__all__ = ["StreamingGP", "StreamState", "SegmentResult"]
+
+
+@module
+class StreamState:
+    """Carried sufficient statistic: filtered moments at the last seen time."""
+
+    m: jnp.ndarray  # [d] filtered state mean at t_last
+    P: jnp.ndarray  # [d, d] filtered state covariance at t_last
+    t_last: jnp.ndarray  # [] scalar time of the carried state
+    lml: jnp.ndarray  # [] accumulated log marginal likelihood so far
+
+
+@module
+class SegmentResult:
+    """Filtered (one-sided, causal) moments over one assimilated segment."""
+
+    f_mean: jnp.ndarray  # [B, p] filtered head means E[h(x_k) | y_{1:k}]
+    f_var: jnp.ndarray  # [B, p] filtered head variances
+    lml: jnp.ndarray  # [] log p(y_segment | past) — this segment's increment
+
+
+@module
+class StreamingGP:
+    """Online wrapper around the state-space GP inference core.
+
+    Same configuration surface as `StateSpaceGP` (kernel / likelihood /
+    physics observation heads / prior mean / filter-variant flags) but no
+    stored data: observations arrive through `update`, forecasts come from
+    `forecast`. `StreamingGP.from_model(ssgp)` assimilates an existing
+    model's training data and returns the ready-to-serve carried state.
+    """
+
+    kernel: object
+    likelihood: object
+    observation: object = None  # optional StateObservation (physics heads)
+    mean: object = None  # optional prior mean (means/mean.py)
+    parallel: bool = static(default=False)
+    sqrt: bool = static(default=False)
+    chunk_size: object = static(default=None)
+
+    # ---- construction ----
+    @classmethod
+    def from_model(cls, model):
+        """Wrap a `StateSpaceGP` and assimilate its training data.
+
+        Returns (streaming_gp, state): `state` carries the filtered moments
+        at `model.t[-1]`, so `forecast`/`update` continue seamlessly past
+        the training window.
+        """
+        s = cls(
+            kernel=model.kernel, likelihood=model.likelihood,
+            observation=model.observation, mean=model.mean,
+            parallel=model.parallel, sqrt=model.sqrt,
+            chunk_size=model.chunk_size,
+        )
+        state = s.init_state(t0=model.t[0])
+        state, _ = s.update(state, model.t, model.Y)
+        return s, state
+
+    def init_state(self, t0=0.0) -> StreamState:
+        """Fresh state = the stationary prior anchored at time t0.
+
+        For stationary kernels the anchor is irrelevant (A P∞ Aᵀ + Q = P∞
+        for any dt); for non-stationary Markov kernels (Wiener family) the
+        prior is defined at t = t0, so pass the true series start.
+        """
+        ssm = build_lgssm(self.kernel, jnp.asarray([t0]))
+        return StreamState(
+            m=ssm.m0, P=ssm.P0,
+            t_last=jnp.asarray(t0, dtype=ssm.m0.dtype),
+            lml=jnp.zeros((), ssm.m0.dtype),
+        )
+
+    # ---- internals ----
+    def _segment_inputs(self, state, t, Y):
+        """LGSSM over [t_last, t...] with a masked dummy row at t_last."""
+        t = jnp.ravel(t)
+        B = t.shape[0]
+        tc = jnp.concatenate([state.t_last[None], t])
+        ssm = build_lgssm(self.kernel, tc)
+        if self.observation is not None:
+            H = self.observation.H(self.kernel)
+            if H.ndim == 3:
+                raise ValueError(
+                    "StreamingGP does not support time-varying observation "
+                    "matrices (H [T, p, d], e.g. ScatteredSpatialHead): the "
+                    "rows are tied to a fixed training grid. Use "
+                    "zoo.scattered_st_predict / the batch model instead."
+                )
+            ssm = ssm._replace(H=H)
+        ssm = ssm._replace(m0=state.m, P0=state.P)
+        p = ssm.H.shape[-2]
+        R = self.likelihood.R(B + 1, p)
+        corr = None
+        if self.observation is not None:
+            corr = self.observation.var_correction(self.kernel)
+            if corr is not None:
+                corr = jnp.broadcast_to(corr, (p,))
+                R = R + jnp.diag(corr)[None]
+        Yc = jnp.broadcast_to(jnp.asarray(Y, ssm.m0.dtype), (B, p))
+        mu = None
+        if self.mean is not None:
+            from ..means.mean import head_mean_values
+
+            mu = head_mean_values(
+                self.mean, t, observation=self.observation, p=p
+            )
+            Yc = Yc - mu
+        # dummy row: all-missing observation at t_last (update is a no-op,
+        # lml contribution is 0; A[0]=I, Q[0]=0 keep the carried state)
+        Yc = jnp.concatenate([jnp.full((1, p), jnp.nan, Yc.dtype), Yc])
+        return ssm, R, Yc, mu, corr
+
+    # ---- serving API ----
+    def update(self, state: StreamState, t, Y):
+        """Assimilate a segment of observations strictly after t_last.
+
+        t: [B] sorted times (all > state.t_last); Y: [B, p] with NaN =
+        missing (a fixed-size serving loop pads with NaN rows). Returns the
+        advanced state and this segment's filtered moments + lml increment.
+        """
+        ssm, R, Yc, mu, corr = self._segment_inputs(state, t, Y)
+        f = run_filter(
+            ssm, R, Yc, parallel=self.parallel, sqrt=self.sqrt,
+            chunk_size=self.chunk_size,
+        )[0]
+        ms, Ps = f.ms[1:], f.Ps[1:]
+        f_mean = project_mean(ssm.H, ms)
+        f_var = project_var(ssm.H, Ps)
+        if mu is not None:
+            f_mean = f_mean + mu
+        if corr is not None:
+            f_var = f_var + corr
+        new_state = StreamState(
+            m=ms[-1], P=Ps[-1],
+            t_last=jnp.asarray(jnp.ravel(t)[-1], ms.dtype),
+            lml=state.lml + f.lml,
+        )
+        return new_state, SegmentResult(f_mean=f_mean, f_var=f_var, lml=f.lml)
+
+    def forecast(self, state: StreamState, t) -> GaussianMoments:
+        """Predictive head moments at future times t (no assimilation).
+
+        Exact: for query points after all assimilated data the smoothed,
+        filtered and predicted posteriors coincide, so this matches
+        `StateSpaceGP.predict_f` on the concatenated series (gated).
+        """
+        t = jnp.ravel(t)
+        p = (self.observation.H(self.kernel).shape[-2]
+             if self.observation is not None else 1)
+        Y = jnp.full((t.shape[0], p), jnp.nan)
+        _, seg = self.update(state, t, Y)
+        return GaussianMoments(mean=seg.f_mean, var=seg.f_var)
+
+    def predict_y(self, state: StreamState, t) -> GaussianMoments:
+        """Observation-space forecast: latent moments + observation noise."""
+        t = jnp.ravel(t)
+        f = self.forecast(state, t)
+        p = f.mean.shape[-1]
+        R = self.likelihood.R(t.shape[0], p)
+        return GaussianMoments(
+            mean=f.mean, var=f.var + jax.vmap(jnp.diag)(R)
+        )

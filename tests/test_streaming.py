@@ -1,0 +1,160 @@
+"""Streaming / online assimilation (`models/streaming.py`).
+
+Exactness contract: filtering segment-by-segment through the carried
+(m, P, t_last) state reproduces the full-batch filter — lml, final state,
+per-step filtered moments — and forecasts from the carried state match
+`StateSpaceGP.predict_f` at points after all data (where smoothed ==
+filtered == predicted).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from physs_gp_tpu.kernels import Matern32, Matern72
+from physs_gp_tpu.likelihoods import Gaussian
+from physs_gp_tpu.models import StateSpaceGP, StreamingGP
+from physs_gp_tpu.ops.kalman import kalman_filter
+from physs_gp_tpu.ops.lgssm import build_lgssm
+from physs_gp_tpu.utils import positive_param
+from physs_gp_tpu import zoo
+
+
+def _series(T=60, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0.0, 8.0, T))
+    y = np.sin(1.7 * t)[:, None] + 0.05 * rng.normal(size=(T, 1))
+    y[rng.choice(T, 5, replace=False), 0] = np.nan  # missing rows
+    return jnp.asarray(t), jnp.asarray(y)
+
+
+def _model(t, y, **kw):
+    return StateSpaceGP(
+        t=t, Y=y, kernel=Matern32(lengthscale=0.9),
+        likelihood=Gaussian(positive_param(0.05 ** 2)), **kw,
+    )
+
+
+@pytest.mark.parametrize("splits", [(20, 45), (1, 59), (30,)])
+def test_segmented_equals_batch_filter(splits):
+    t, y = _series()
+    m = _model(t, y)
+    s, state = StreamingGP(kernel=m.kernel, likelihood=m.likelihood), None
+    state = s.init_state(t0=float(t[0]))
+
+    segs, lo = [], 0
+    for hi in list(splits) + [t.shape[0]]:
+        state, seg = jax.jit(s.update)(state, t[lo:hi], y[lo:hi])
+        segs.append(seg)
+        lo = hi
+
+    # lml: sum of segment increments == batch lml
+    batch_lml = jax.jit(lambda mm: mm.log_marginal_likelihood())(m)
+    np.testing.assert_allclose(float(state.lml), float(batch_lml), rtol=1e-10)
+
+    # final carried state == batch filter's last row
+    ssm = build_lgssm(m.kernel, t)
+    R = m.likelihood.R(t.shape[0], 1)
+    f = kalman_filter(ssm.A, ssm.Q, ssm.H, R, y, ssm.m0, ssm.P0)
+    np.testing.assert_allclose(np.asarray(state.m), np.asarray(f.ms[-1]),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.P), np.asarray(f.Ps[-1]),
+                               atol=1e-12)
+
+    # per-step filtered head moments == batch filter (concatenated segments)
+    f_mean = jnp.concatenate([g.f_mean for g in segs])
+    Hm = jnp.einsum("pd,td->tp", ssm.H, f.ms)
+    np.testing.assert_allclose(np.asarray(f_mean), np.asarray(Hm), atol=1e-10)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(parallel=True),
+    dict(sqrt=True),
+    dict(parallel=True, sqrt=True, chunk_size=16),
+])
+def test_filter_variants_match_sequential(kw):
+    t, y = _series(T=48, seed=1)
+    s = StreamingGP(kernel=Matern32(lengthscale=0.9),
+                    likelihood=Gaussian(positive_param(0.05 ** 2)), **kw)
+    s0 = StreamingGP(kernel=s.kernel, likelihood=s.likelihood)
+
+    def run(sgp):
+        st = sgp.init_state(t0=float(t[0]))
+        st, _ = jax.jit(sgp.update)(st, t[:25], y[:25])
+        st, _ = jax.jit(sgp.update)(st, t[25:], y[25:])
+        return st
+
+    a, b = run(s), run(s0)
+    np.testing.assert_allclose(float(a.lml), float(b.lml), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(a.m), np.asarray(b.m), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a.P), np.asarray(b.P), atol=1e-8)
+
+
+def test_forecast_matches_predict_f():
+    t, y = _series(T=50, seed=2)
+    m = _model(t, y)
+    s, state = StreamingGP.from_model(m)
+
+    t_fut = jnp.linspace(float(t[-1]) + 0.1, float(t[-1]) + 2.0, 7)
+    fc = jax.jit(s.forecast)(state, t_fut)
+    ref = jax.jit(m.predict_f)(t_fut)
+    np.testing.assert_allclose(np.asarray(fc.mean), np.asarray(ref.mean),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fc.var), np.asarray(ref.var),
+                               atol=1e-9)
+
+    # observation-space forecast adds the noise variance
+    py = jax.jit(s.predict_y)(state, t_fut)
+    np.testing.assert_allclose(
+        np.asarray(py.var), np.asarray(fc.var) + 0.05 ** 2, atol=1e-9
+    )
+
+
+def test_streaming_physics_heads():
+    """ODE-constrained model streams exactly (physics rows stay active)."""
+    rng = np.random.default_rng(3)
+    t_data = np.sort(rng.uniform(0, 6, 40))
+    w = 2.0
+    y_data = np.cos(w * t_data) + 0.03 * rng.normal(size=40)
+    t_coll = np.linspace(0, 6, 30)
+    m = zoo.ode_gp(t_data, y_data, t_coll, ode_coeffs=[w ** 2, 0.0, 1.0],
+                   kernel=Matern72(lengthscale=1.2))
+
+    s = StreamingGP(kernel=m.kernel, likelihood=m.likelihood,
+                    observation=m.observation)
+    state = s.init_state(t0=float(m.t[0]))
+    T = m.t.shape[0]
+    state, _ = jax.jit(s.update)(state, m.t[: T // 2], m.Y[: T // 2])
+    state, _ = jax.jit(s.update)(state, m.t[T // 2:], m.Y[T // 2:])
+    batch_lml = jax.jit(lambda mm: mm.log_marginal_likelihood())(m)
+    np.testing.assert_allclose(float(state.lml), float(batch_lml), rtol=1e-9)
+
+    # forecast stays close to the ODE solution just past the data window
+    fc = jax.jit(s.forecast)(state, jnp.asarray([6.1, 6.3]))
+    truth = np.cos(w * np.array([6.1, 6.3]))
+    assert np.all(np.abs(np.asarray(fc.mean[:, 0]) - truth) < 0.15)
+
+
+def test_fixed_size_serving_loop_compiles_once():
+    """NaN-padded fixed-width batches reuse one compiled update."""
+    t, y = _series(T=64, seed=4)
+    s = StreamingGP(kernel=Matern32(lengthscale=0.9),
+                    likelihood=Gaussian(positive_param(0.05 ** 2)))
+    state = s.init_state(t0=float(t[0]))
+    upd = jax.jit(s.update)
+
+    B = 16
+    for k in range(4):
+        tb, yb = t[k * B:(k + 1) * B], y[k * B:(k + 1) * B]
+        state, _ = upd(state, tb, yb)
+    m = _model(t, y)
+    np.testing.assert_allclose(
+        float(state.lml),
+        float(jax.jit(lambda mm: mm.log_marginal_likelihood())(m)),
+        rtol=1e-10,
+    )
+    # padding contract: a trailing all-NaN row only advances the clock
+    t_pad = jnp.concatenate([t[-2:] + 1.0, t[-1:] + 3.0])
+    y_pad = jnp.concatenate([y[-2:] * jnp.nan, y[-1:] * jnp.nan])
+    st2, seg = upd(state, t_pad, y_pad)
+    np.testing.assert_allclose(float(st2.lml), float(state.lml), rtol=1e-12)
