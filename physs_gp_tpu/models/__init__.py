@@ -7,4 +7,4 @@ from .ekf_gp import NonlinearSSGP
 from .gprn import GPRN
 from .wrappers import LatentPredictor, MultiObjectiveModel
 from .lvgp import LatentVariableGP
-from .streaming import StreamingGP, StreamState, SegmentResult
+from .streaming import StreamingGP, StreamingCVI, StreamState, SegmentResult

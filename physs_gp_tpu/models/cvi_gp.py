@@ -48,6 +48,9 @@ class CVIGP:
     sites: Sites
     observation: object = None  # optional StateObservation (physics heads)
     mean: object = None  # optional prior Mean (see means/mean.py)
+    init_state: object = None  # optional (m0, P0) filter-init override —
+    # streaming/online CVI carries the previous segment's filtered state
+    # here instead of the stationary prior (models/streaming.py)
     parallel: bool = static(default=False)
     sqrt: bool = static(default=False)
     chunk_size: object = static(default=None)
@@ -58,7 +61,8 @@ class CVIGP:
     @classmethod
     def init(cls, t, Y, kernel, likelihood, observation=None, mean=None,
              parallel=False, sqrt=False, chunk_size=None,
-             site_var: float = 1.0, mesh=None, mesh_axis: str = "t"):
+             site_var: float = 1.0, mesh=None, mesh_axis: str = "t",
+             init_state=None):
         # Likelihoods with residual terms widen the active-site mask so
         # never-directly-observed heads still carry sites (full-state-observed
         # surrogate, ref `conjugate_gaussian_approximate_posterior.py:174`).
@@ -75,6 +79,7 @@ class CVIGP:
             sites=init_sites(Y, site_var, active=active),
             observation=observation,
             mean=mean,
+            init_state=init_state,
             parallel=parallel,
             sqrt=sqrt,
             chunk_size=chunk_size,
@@ -89,6 +94,8 @@ class CVIGP:
         ssm = build_lgssm(self.kernel, self.t)
         if self.observation is not None:
             ssm = ssm._replace(H=self.observation.H(self.kernel))
+        if self.init_state is not None:
+            ssm = ssm._replace(m0=self.init_state[0], P0=self.init_state[1])
         T, p = self.sites.Y.shape
         R = self.sites.V
         f, s = run_filter_smoother(

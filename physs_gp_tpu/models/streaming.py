@@ -27,10 +27,10 @@ import jax.numpy as jnp
 
 from ..ops.lgssm import build_lgssm, project_mean, project_var
 from ..ops.runner import run_filter
-from ..utils.struct import module, static
+from ..utils.struct import module, replace, static
 from .ssgp import GaussianMoments
 
-__all__ = ["StreamingGP", "StreamState", "SegmentResult"]
+__all__ = ["StreamingGP", "StreamingCVI", "StreamState", "SegmentResult"]
 
 
 @module
@@ -194,3 +194,130 @@ class StreamingGP:
         return GaussianMoments(
             mean=f.mean, var=f.var + jax.vmap(jnp.diag)(R)
         )
+
+
+def _carry_ssm(kernel, observation, state, t):
+    """LGSSM over [t_last, t...] initialised from the carried state."""
+    tc = jnp.concatenate([state.t_last[None], jnp.ravel(t)])
+    ssm = build_lgssm(kernel, tc)
+    if observation is not None:
+        H = observation.H(kernel)
+        if H.ndim == 3:
+            raise ValueError(
+                "streaming does not support time-varying H [T, p, d] "
+                "(rows tied to a fixed training grid); use the batch model."
+            )
+        ssm = ssm._replace(H=H)
+    return ssm._replace(m0=state.m, P0=state.P)
+
+
+@module
+class StreamingCVI:
+    """Online CVI: assimilate NON-GAUSSIAN observation segments in O(segment).
+
+    Streaming-variational-Bayes form of `CVIGP`: the carried filtered state
+    of the conjugate surrogate is the prior for each new segment, on which a
+    short natural-gradient site loop runs (`n_iters` unrolled steps); past
+    sites are never revisited. With a conjugate Gaussian likelihood and
+    lr = 1 the sites hit their exact fixed point, so segment ELBOs sum to
+    the exact batch lml and the carry equals the batch filter state
+    (gated); for genuinely non-conjugate likelihoods this is the standard
+    online approximation (no backward refinement of past sites).
+    """
+
+    kernel: object
+    likelihood: object  # non-conjugate data likelihood (CVIGP contract)
+    observation: object = None
+    mean: object = None
+    parallel: bool = static(default=False)
+    sqrt: bool = static(default=False)
+    chunk_size: object = static(default=None)
+    n_iters: int = static(default=8)
+    lr: float = static(default=0.5)
+    hessian: str = static(default="exact")
+
+    def init_state(self, t0=0.0) -> StreamState:
+        """Fresh state = the stationary prior anchored at t0 (see
+        `StreamingGP.init_state`). `lml` accumulates the segment ELBO
+        increments — each a lower bound on log p(y_segment | past)."""
+        ssm = build_lgssm(self.kernel, jnp.asarray([t0]))
+        return StreamState(
+            m=ssm.m0, P=ssm.P0,
+            t_last=jnp.asarray(t0, dtype=ssm.m0.dtype),
+            lml=jnp.zeros((), ssm.m0.dtype),
+        )
+
+    def update(self, state: StreamState, t, Y, key=None):
+        """Assimilate one segment. Returns (state', segment_model) where
+        segment_model is the fitted `CVIGP` over the segment (use its
+        `posterior()` / `predict_y` for within-segment reads).
+
+        `key`: PRNG key for stochastic (MC) ELL likelihoods, split per
+        natural-gradient iteration; None keeps the frozen-seed fallback.
+        """
+        from .cvi_gp import CVIGP
+
+        t = jnp.ravel(t)
+        p = (self.observation.H(self.kernel).shape[-2]
+             if self.observation is not None else Y.shape[-1])
+        Yc = jnp.concatenate(
+            [jnp.full((1, p), jnp.nan, jnp.asarray(Y).dtype),
+             jnp.broadcast_to(jnp.asarray(Y), (t.shape[0], p))]
+        )
+        cvi = CVIGP.init(
+            jnp.concatenate([state.t_last[None], t]), Yc,
+            self.kernel, self.likelihood, observation=self.observation,
+            mean=self.mean, parallel=self.parallel, sqrt=self.sqrt,
+            chunk_size=self.chunk_size, init_state=(state.m, state.P),
+        )
+        # the dummy carry row at t_last must stay site-free even when a
+        # residual likelihood widens the active mask (site_active_mask) —
+        # otherwise each segment would add a spurious collocation site there
+        sites = cvi.sites
+        cvi = replace(
+            cvi, sites=replace(sites, Y=sites.Y.at[0].set(jnp.nan))
+        )
+        elbo = jnp.zeros((), state.m.dtype)
+        for i in range(self.n_iters):  # unrolled; one compile per shape
+            ki = None if key is None else jax.random.fold_in(key, i)
+            cvi, elbo = cvi.step_with_elbo(self.lr, hessian=self.hessian,
+                                           key=ki)
+        # carry = filtered state of the surrogate under the FINAL sites
+        ssm = _carry_ssm(self.kernel, self.observation, state, t)
+        f = run_filter(
+            ssm, cvi.sites.V, cvi.sites.Y, parallel=self.parallel,
+            sqrt=self.sqrt, chunk_size=self.chunk_size,
+        )[0]
+        new_state = StreamState(
+            m=f.ms[-1], P=f.Ps[-1],
+            t_last=jnp.asarray(t[-1], f.ms.dtype),
+            lml=state.lml + elbo,
+        )
+        return new_state, cvi
+
+    def forecast(self, state: StreamState, t) -> GaussianMoments:
+        """Latent head moments at future times from the carried state
+        (prior propagation — no sites past t_last). Push through the
+        likelihood's `predict_y_moments` for observation-space forecasts."""
+        t = jnp.ravel(t)
+        ssm = _carry_ssm(self.kernel, self.observation, state, t)
+        p = ssm.H.shape[-2]
+        B = t.shape[0]
+        R = jnp.broadcast_to(jnp.eye(p, dtype=state.m.dtype),
+                             (B + 1, p, p))
+        Y = jnp.full((B + 1, p), jnp.nan, state.m.dtype)
+        f = run_filter(ssm, R, Y, parallel=self.parallel, sqrt=self.sqrt,
+                       chunk_size=self.chunk_size)[0]
+        mean = project_mean(ssm.H, f.ms[1:])
+        var = project_var(ssm.H, f.Ps[1:])
+        if self.mean is not None:
+            from ..means.mean import head_mean_values
+
+            mean = mean + head_mean_values(
+                self.mean, t, observation=self.observation, p=p
+            )
+        if self.observation is not None:
+            corr = self.observation.var_correction(self.kernel)
+            if corr is not None:
+                var = var + jnp.broadcast_to(corr, (p,))
+        return GaussianMoments(mean=mean, var=var)

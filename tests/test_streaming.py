@@ -158,3 +158,90 @@ def test_fixed_size_serving_loop_compiles_once():
     y_pad = jnp.concatenate([y[-2:] * jnp.nan, y[-1:] * jnp.nan])
     st2, seg = upd(state, t_pad, y_pad)
     np.testing.assert_allclose(float(st2.lml), float(state.lml), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# StreamingCVI (online conjugate-computation VI)
+# ---------------------------------------------------------------------------
+from physs_gp_tpu.likelihoods import Poisson
+from physs_gp_tpu.models import CVIGP, StreamingCVI
+
+
+def test_streaming_cvi_gaussian_segments_exact():
+    """Conjugate Gaussian + lr=1: sites hit their fixed point in one step,
+    so segment ELBOs sum to the exact batch lml and the carried state
+    equals the batch filter state."""
+    t, y = _series(T=40, seed=5)
+    s = StreamingCVI(kernel=Matern32(lengthscale=0.9),
+                     likelihood=Gaussian(positive_param(0.05 ** 2)),
+                     lr=1.0, n_iters=2)
+    st = s.init_state(t0=float(t[0]))
+    st, _ = jax.jit(s.update)(st, t[:18], y[:18])
+    st, _ = jax.jit(s.update)(st, t[18:], y[18:])
+
+    m = _model(t, y)
+    batch_lml = float(jax.jit(lambda mm: mm.log_marginal_likelihood())(m))
+    np.testing.assert_allclose(float(st.lml), batch_lml, rtol=1e-8)
+
+    ssm = build_lgssm(m.kernel, t)
+    f = kalman_filter(ssm.A, ssm.Q, ssm.H, m.likelihood.R(t.shape[0], 1), y,
+                      ssm.m0, ssm.P0)
+    np.testing.assert_allclose(np.asarray(st.m), np.asarray(f.ms[-1]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.P), np.asarray(f.Ps[-1]),
+                               atol=1e-9)
+
+
+def test_streaming_cvi_single_segment_equals_batch():
+    """One segment covering all data reproduces batch CVIGP exactly
+    (same iteration count / lr / frozen seed)."""
+    rng = np.random.default_rng(6)
+    T = 60
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, T)))
+    lam = np.exp(1.2 * np.sin(1.1 * np.asarray(t)))
+    y = jnp.asarray(rng.poisson(lam)[:, None].astype(np.float64))
+
+    kern = Matern32(lengthscale=1.0)
+    s = StreamingCVI(kernel=kern, likelihood=Poisson(), lr=0.5, n_iters=5)
+    st = s.init_state(t0=float(t[0]))
+    st, seg = jax.jit(s.update)(st, t, y)
+
+    batch = CVIGP.init(t, y, kern, Poisson())
+    elbo = None
+    for _ in range(5):
+        batch, elbo = jax.jit(lambda mm: mm.step_with_elbo(0.5))(batch)
+    np.testing.assert_allclose(float(st.lml), float(elbo), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(seg.posterior().mean[1:]),
+        np.asarray(batch.posterior().mean), atol=1e-8,
+    )
+
+
+def test_streaming_cvi_poisson_two_segments():
+    """Online two-segment fit tracks the batch CVI posterior and forecasts
+    a sane intensity past the data."""
+    rng = np.random.default_rng(7)
+    T = 80
+    t = jnp.asarray(np.sort(rng.uniform(0, 12, T)))
+    f_true = 1.2 * np.sin(0.9 * np.asarray(t)) + 0.3
+    y = jnp.asarray(rng.poisson(np.exp(f_true))[:, None].astype(np.float64))
+
+    kern = Matern32(lengthscale=1.4)
+    s = StreamingCVI(kernel=kern, likelihood=Poisson(), lr=0.5, n_iters=15)
+    st = s.init_state(t0=float(t[0]))
+    st, seg1 = jax.jit(s.update)(st, t[:40], y[:40])
+    st, seg2 = jax.jit(s.update)(st, t[40:], y[40:])
+    assert np.isfinite(float(st.lml))
+
+    batch = CVIGP.init(t, y, kern, Poisson())
+    for _ in range(15):
+        batch, _ = jax.jit(lambda mm: mm.step_with_elbo(0.5))(batch)
+    m_online = np.concatenate([np.asarray(seg1.posterior().mean[1:]),
+                               np.asarray(seg2.posterior().mean[1:])])
+    m_batch = np.asarray(batch.posterior().mean)
+    rmse = float(np.sqrt(np.mean((m_online - m_batch) ** 2)))
+    assert rmse < 0.35, rmse
+
+    fc = jax.jit(s.forecast)(st, t[-1] + jnp.asarray([0.1, 0.5, 1.0]))
+    assert np.isfinite(np.asarray(fc.mean)).all()
+    assert (np.asarray(fc.var) > 0).all()
