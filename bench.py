@@ -19,22 +19,37 @@ forms — demonstrably FASTER than the reference's own objax code (which is not
 runnable here: objax is not installed) — so the reported multiplier is a
 LOWER bound on the true speedup over the reference.
 
-Extra keys report the round-1 temporal workload (d=2 Matern-3/2 Poisson CVI)
-so both numbers stay visible to the driver history.
+Extra keys:
+- temporal_*: the round-1 temporal workload (d=2 Matern-3/2 Poisson CVI).
+- n_repeats / steps_per_sec_runs / value(=median) / steps_per_sec_min:
+  run-to-run TPU+relay variance is real (observed 57.8x-76.5x across days);
+  the JSON quantifies it instead of anecdoting a single draw.
+- achieved_flops / mfu_*: absolute hardware accounting — XLA cost-analysis
+  FLOPs of the compiled step divided by measured step time, against the v5e
+  ceiling (see docs/PERFORMANCE.md "Roofline" for the assumptions).
 """
+import datetime
 import json
+import statistics
 import subprocess
 import sys
 import time
 
 import numpy as np
 
+from physs_gp_tpu.zoo.bench_configs import build_config5, build_temporal  # noqa: F401 (re-exported for callers)
+
 T5 = 100_000
-# chunk sweep under BLOCKED inner scans (round 3, experiments/profile_c5e.py):
+# chunk sweep under BLOCKED inner scans (round 3, scripts/profile/profile_c5e.py):
 # 10000 -> 144.1k, 20000 -> 176.8k steps/s (assoc-scan era: 5000 -> 91.5k,
 # 10000 -> 95.2k); bigger chunks amortise the outer scan now that the inner
 # combine levels stay on the Pallas fast path
 CHUNK = 20_000
+
+# v5e per-chip peak: 197 TFLOP/s bf16 MXU. fp32 at HIGHEST precision runs
+# ~6 bf16 passes per fp32 matmul -> ~32.8 TFLOP/s effective fp32 roofline.
+PEAK_BF16_FLOPS = 197e12
+PEAK_FP32_FLOPS = PEAK_BF16_FLOPS / 6.0
 
 _CPU_SCRIPT = r"""
 import sys, time, json
@@ -46,8 +61,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import numpy as np
 import jax.numpy as jnp
-from physs_gp_tpu.models import CVIGP
-from bench import build_config5, build_temporal
+from physs_gp_tpu.zoo.bench_configs import build_config5, build_temporal
 
 T_cpu = 2000
 m = build_config5(T_cpu, None, parallel=False, dtype=jnp.float64)
@@ -74,83 +88,7 @@ print(json.dumps({"c5_steps_per_sec": T_cpu / dt5,
 """
 
 
-def build_config5(T, chunk, parallel=True, dtype=None):
-    import jax.numpy as jnp
-
-    from physs_gp_tpu.kernels import Matern32
-    from physs_gp_tpu.kernels.rbf import RBF
-    from physs_gp_tpu.kernels.spatio_temporal import SpatioTemporalKernel
-    from physs_gp_tpu.likelihoods.gaussian import IndependentGaussian
-    from physs_gp_tpu.models import CVIGP
-    from physs_gp_tpu.transforms.operators import (
-        OperatorTerm,
-        STOperatorHead,
-        SpatialHead,
-        StateObservation,
-        s_grad,
-        s_laplacian,
-    )
-    from physs_gp_tpu.utils.params import positive_param
-
-    dtype = dtype or jnp.float32
-    rng = np.random.default_rng(0)
-    t = np.sort(rng.uniform(0, 100, T)).astype(np.float32)
-    gx = np.linspace(0, 1, 4)
-    Z = np.stack(np.meshgrid(gx, gx), -1).reshape(-1, 2).astype(np.float32)
-    Ns = Z.shape[0]
-    coll = (Z + 0.5 * (gx[1] - gx[0]))[:Ns]
-    Nc = coll.shape[0]
-    Y = np.concatenate(
-        [rng.normal(size=(T, Ns)).astype(np.float32),
-         np.zeros((T, Nc), np.float32)], axis=1,
-    )
-    kern = SpatioTemporalKernel(
-        k_time=Matern32(lengthscale=jnp.asarray(5.0, dtype),
-                        variance=jnp.asarray(1.0, dtype)),
-        k_space=RBF(lengthscales=positive_param(jnp.asarray(0.5, dtype)),
-                    variance=positive_param(jnp.asarray(1.0, dtype))),
-        Z=jnp.asarray(Z, dtype),
-    )
-    obs = StateObservation(heads=[
-        SpatialHead(points=jnp.asarray(Z, dtype)),
-        STOperatorHead(points=jnp.asarray(coll, dtype), terms=[
-            OperatorTerm(coeff=1.0, t_order=1),
-            OperatorTerm(coeff=-0.1, s_op=s_laplacian),
-            OperatorTerm(coeff=0.2, s_op=s_grad(0)),
-            OperatorTerm(coeff=0.1, s_op=s_grad(1)),
-        ]),
-    ])
-    lik = IndependentGaussian(
-        variances=[positive_param(jnp.asarray(0.1, dtype))] * Ns
-        + [positive_param(jnp.asarray(1e-3, dtype)).fix()] * Nc
-    )
-    return CVIGP.init(jnp.asarray(t, dtype), jnp.asarray(Y, dtype), kern, lik,
-                      observation=obs, parallel=parallel, chunk_size=chunk)
-
-
-def build_temporal(T, chunk, parallel=True, dtype=None):
-    import jax.numpy as jnp
-
-    from physs_gp_tpu.kernels import Matern32
-    from physs_gp_tpu.likelihoods import Poisson
-    from physs_gp_tpu.models import CVIGP
-
-    dtype = dtype or jnp.float32
-    rng = np.random.default_rng(0)
-    t = np.sort(rng.uniform(0, 1000, T)).astype(np.float32)
-    f = 1.2 * np.sin(0.1 * t)
-    y = rng.poisson(np.exp(f)).astype(np.float32)
-    return CVIGP.init(
-        jnp.asarray(t, dtype), jnp.asarray(y, dtype)[:, None],
-        Matern32(lengthscale=jnp.asarray(10.0, dtype),
-                 variance=jnp.asarray(1.0, dtype)),
-        Poisson(), parallel=parallel, chunk_size=chunk,
-    )
-
-
 def _time_steps(step, m, n):
-    import jax.numpy as jnp
-
     m2, e = step(m)
     _ = float(e)  # host sync (block_until_ready lies through the axon relay)
     t0 = time.perf_counter()
@@ -158,6 +96,26 @@ def _time_steps(step, m, n):
         m2, e = step(m2)
     _ = float(e)
     return (time.perf_counter() - t0) / n
+
+
+def _compile_with_cost(fn, m):
+    """jit-compile fn(m); return (callable, flops_per_call or None)."""
+    import jax
+
+    jitted = jax.jit(fn)
+    flops = None
+    try:
+        compiled = jitted.lower(m).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = (ca or {}).get("flops")
+        if f and np.isfinite(f) and f > 0:
+            flops = float(f)
+        return compiled, flops
+    except Exception:
+        # cost analysis / AOT path unavailable: fall back to the plain jit
+        return jitted, None
 
 
 # Last successful on-TPU run of THIS script (round 3, 2026-08-17, v5e chip),
@@ -180,46 +138,54 @@ _PROBE = ("import jax; d = jax.devices(); import jax.numpy as jnp; "
           "print('PROBE-OK', d[0].platform, float(x[0, 0]))")
 
 
-def _backend_reachable(timeout=420):
-    """Probe the default JAX backend in a bounded subprocess.
+def _backend_reachable(attempts=3, timeout=480, backoff=120):
+    """Probe the default JAX backend in a bounded subprocess, with retries.
 
     The axon TPU relay, when down, hangs backend init for ~30 minutes and
-    then raises UNAVAILABLE — far past any sane bench budget. A subprocess
-    probe (init is normally < 60 s) lets us fail fast and emit an honest,
-    flagged fallback instead of hanging the driver.
+    then raises UNAVAILABLE — far past any sane bench budget. But the relay
+    also demonstrably RECOVERS within minutes (round-3 judging: two 420 s
+    probes failed, a third succeeded and measured 195k steps/s). So: retry
+    with backoff before giving up, instead of replaying a stale result after
+    one failed probe.
     """
-    try:
-        out = subprocess.run([sys.executable, "-c", _PROBE],
-                             capture_output=True, text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return False
-    return "PROBE-OK" in out.stdout
+    for i in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, "-c", _PROBE],
+                                 capture_output=True, text=True,
+                                 timeout=timeout)
+            if "PROBE-OK" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            time.sleep(backoff * (i + 1))
+    return False
 
 
 def main():
-    import jax
-
     if not _backend_reachable():
         print(json.dumps({
             **_LAST_TPU_RESULT,
             "stale": True,
-            "note": "TPU relay unreachable at bench time (backend init probe "
-                    "timed out); values are from the last successful on-TPU "
-                    "run of this script (round 3, 2026-08-17).",
+            "note": "TPU relay unreachable at bench time (3 backend-init "
+                    "probes timed out over ~30 min); values are from the "
+                    "last successful on-TPU run of this script "
+                    "(round 3, 2026-08-17).",
         }))
         return
 
     # --- TPU config-5 north star ---
     m5 = build_config5(T5, CHUNK)
-    step5 = jax.jit(lambda mm: mm.step_with_elbo(0.5))
-    dt5 = _time_steps(step5, m5, 5)
-    c5_sps = T5 / dt5
+    step5, flops5 = _compile_with_cost(lambda mm: mm.step_with_elbo(0.5), m5)
+    REPEATS, N_STEPS = 3, 5
+    runs5 = [T5 / _time_steps(step5, m5, N_STEPS) for _ in range(REPEATS)]
+    c5_sps = statistics.median(runs5)
 
     # --- TPU temporal workload (round-1 metric, kept) ---
     mt = build_temporal(T5, CHUNK)
-    stept = jax.jit(lambda mm: mm.step_with_elbo(0.5))
-    dtt = _time_steps(stept, mt, 5)
-    t_sps = T5 / dtt
+    stept, flops_t = _compile_with_cost(lambda mm: mm.step_with_elbo(0.5), mt)
+    runs_t = [T5 / _time_steps(stept, mt, N_STEPS) for _ in range(REPEATS)]
+    t_sps = statistics.median(runs_t)
 
     # --- CPU sequential reference in a forced-CPU subprocess ---
     out = subprocess.run(
@@ -229,22 +195,39 @@ def main():
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     cpu = json.loads(line)
 
-    print(
-        json.dumps(
-            {
-                "metric": "config-5 CVI step steps/sec (T=100k 2D "
-                          "advection-diffusion ST PDE, state dim 32, 32 heads, "
-                          "parallel-scan KF+RTS+ELBO+natgrad, TPU fp32)",
-                "value": round(c5_sps, 1),
-                "unit": "steps/sec",
-                "vs_baseline": round(c5_sps / cpu["c5_steps_per_sec"], 2),
-                "temporal_steps_per_sec": round(t_sps, 1),
-                "temporal_vs_baseline": round(
-                    t_sps / cpu["temporal_steps_per_sec"], 2
-                ),
-            }
+    result = {
+        "metric": "config-5 CVI step steps/sec (T=100k 2D "
+                  "advection-diffusion ST PDE, state dim 32, 32 heads, "
+                  "parallel-scan KF+RTS+ELBO+natgrad, TPU fp32)",
+        "value": round(c5_sps, 1),
+        "unit": "steps/sec",
+        "vs_baseline": round(c5_sps / cpu["c5_steps_per_sec"], 2),
+        "temporal_steps_per_sec": round(t_sps, 1),
+        "temporal_vs_baseline": round(
+            t_sps / cpu["temporal_steps_per_sec"], 2
+        ),
+        "stale": False,
+        "measured_at": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "n_repeats": REPEATS,
+        "steps_per_sec_runs": [round(r, 1) for r in runs5],
+        "steps_per_sec_min": round(min(runs5), 1),
+        "temporal_runs": [round(r, 1) for r in runs_t],
+    }
+    # absolute accounting: XLA cost-analysis FLOPs / measured wall time
+    if flops5:
+        achieved = flops5 * c5_sps / T5  # flops per whole-step * steps/T5^-1
+        result["flops_per_step"] = flops5
+        result["achieved_flops"] = round(achieved, 1)
+        result["mfu_bf16_peak"] = round(achieved / PEAK_BF16_FLOPS, 6)
+        result["mfu_fp32_roofline"] = round(achieved / PEAK_FP32_FLOPS, 6)
+    if flops_t:
+        achieved_t = flops_t * t_sps / T5
+        result["temporal_achieved_flops"] = round(achieved_t, 1)
+        result["temporal_mfu_fp32_roofline"] = round(
+            achieved_t / PEAK_FP32_FLOPS, 6
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -54,7 +54,7 @@ def _solve_tri(L, B, lower=True):
 
     XLA:TPU's batched TriangularSolve is catastrophically slow at tiny d —
     measured 3.5 ms PER MATRIX at [5000, 32, 32] vs 775 ns through the
-    Pallas lane-batched Gauss-Jordan (4500x; `experiments/bench_trisolve.py`,
+    Pallas lane-batched Gauss-Jordan (4500x; `scripts/profile/bench_trisolve.py`,
     round 3) — it was the entire sqrt-path tax. GJ on a triangular system
     pivots on the diagonal (exact zeros above/below), matching
     solve_triangular to 3.4e-7 relative on the combine's chol(I + G G^T)

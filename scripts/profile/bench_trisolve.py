@@ -7,7 +7,7 @@ bound at tiny d (like its batched QR was), routing through the lane-batched
 GJ kernel is the remaining sqrt-path lever (round-2 verdict weak #2/#3).
 
 Timing per CLAUDE.md rule 8: chained calls + host float fetch.
-Run: PYTHONPATH=/root/repo python -u experiments/bench_trisolve.py
+Run: PYTHONPATH=/root/repo python -u scripts/profile/bench_trisolve.py
 """
 import sys
 import time

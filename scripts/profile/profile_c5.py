@@ -12,7 +12,7 @@ nested prefixes of the full step:
   step       + natural-gradient site update              (the full step)
 
 Successive differences give per-stage cost. Run on the TPU:
-    PYTHONPATH=/root/repo python -u experiments/profile_c5.py [T] [reps]
+    PYTHONPATH=/root/repo python -u scripts/profile/profile_c5.py [T] [reps]
 """
 import json
 import sys

@@ -6,7 +6,7 @@ Probes (chained, all outputs consumed):
   filter       full chunked filter (build + inner associative scans + lml)
   step@chunk   full step_with_elbo at several chunk sizes
 
-Run: PYTHONPATH=/root/repo python -u experiments/profile_c5b.py
+Run: PYTHONPATH=/root/repo python -u scripts/profile/profile_c5b.py
 """
 import sys
 import time

@@ -12,7 +12,7 @@ combine at batch >= n_blocks:
 
 Work: 2n + O(B log B) combines (vs ~1.5n for associative_scan), all wide.
 
-Run: PYTHONPATH=/root/repo python -u experiments/profile_c5c.py
+Run: PYTHONPATH=/root/repo python -u scripts/profile/profile_c5c.py
 """
 import sys
 import time

@@ -6,7 +6,7 @@ sub-256-batch level that falls off the Pallas kernels) cost per pass. Prints
 step time and the surrogate lml under each level vs the fp32 sequential
 reference so the accuracy cost is visible, not guessed.
 
-Run: PYTHONPATH=/root/repo python -u experiments/profile_c5d.py
+Run: PYTHONPATH=/root/repo python -u scripts/profile/profile_c5d.py
 """
 import os
 import sys

@@ -1,7 +1,7 @@
 """Sweep blocked-scan width (PHYSS_SCAN_BLOCKS) x chunk size on the config-5
 step, under the now-default blocked inner scans.
 
-Run: PYTHONPATH=/root/repo python -u experiments/profile_c5e.py
+Run: PYTHONPATH=/root/repo python -u scripts/profile/profile_c5e.py
 """
 import os
 import sys

@@ -5,7 +5,7 @@ the deltas attribute wall-clock to: lgssm build, filter scan, smoother,
 H-projections, ELL terms, natgrad update. Chain-call timing per CLAUDE.md
 rule 8 (host float() sync; relay latency makes unchained repeats lie).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/profile_c5f.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/profile_c5f.py
 """
 import sys
 import time

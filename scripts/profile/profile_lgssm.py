@@ -3,7 +3,7 @@
 Probes: transition/noise closed forms, gather-based kron_lift vs a
 tile-based (broadcast+reshape) formulation, H build.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/profile_lgssm.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/profile_lgssm.py
 """
 import sys
 import time

@@ -1,7 +1,7 @@
 """Explain the 86 ms 'lgssm build' bucket of profile_c5f: how much is the
 model-pytree argument overhead (chain + 400 MB V sites) vs the actual build.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/profile_lgssm2.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/profile_lgssm2.py
 """
 import sys
 import time

@@ -10,7 +10,7 @@ lane-batched Cholesky kernel is a candidate replacement.
 Stage probes (chained; CLAUDE.md rule 8) + in-graph op microbenches at the
 combine batch width (256).
 
-Run: PYTHONPATH=/root/repo python -u experiments/profile_sqrt.py [T] [reps]
+Run: PYTHONPATH=/root/repo python -u scripts/profile/profile_sqrt.py [T] [reps]
 """
 import json
 import sys

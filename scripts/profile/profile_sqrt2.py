@@ -1,19 +1,20 @@
 """Finer sqrt-path attribution: element build vs inner scan vs lml, plus
 wide-batch per-op microbenches (the B=256 numbers carry per-call overhead).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/profile_sqrt2.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/profile_sqrt2.py
 """
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts/profile")
 
 import jax
 import jax.numpy as jnp
 
 from bench import CHUNK, T5, build_config5
 from physs_gp_tpu.utils.struct import replace
-from experiments.profile_sqrt import _chain_model, micro, time_probe
+from profile_sqrt import _chain_model, micro, time_probe
 
 
 def main():

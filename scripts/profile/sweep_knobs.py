@@ -4,7 +4,7 @@ Each configuration re-jits a FRESH callable (the knobs are read at trace
 time), runs the full CVI step chained per CLAUDE.md rule 8, and prints a
 table. Run after any scan-core change to re-validate the knob defaults:
 
-  PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/sweep_knobs.py
+  PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/sweep_knobs.py
   PHYSS_SWEEP_SQRT=1 ...            # sweep the sqrt path instead
 
 Expect minutes of Mosaic compile per NEW kernel shape on first run

@@ -2,7 +2,7 @@
 
 Chain-call timing per CLAUDE.md rule 8 (host float() sync each rep chain).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/time_steps.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/time_steps.py
 """
 import sys
 import time
