@@ -18,6 +18,16 @@ Measured (quick, seed 0): TPU fp32+sqrt rmse_on 0.123 / CPU fp64 0.19, both
 vs physics-off 0.56 — the TPU run is the headline, not a fallback.
 
 Run: PYTHONPATH=/root/repo python experiments/ac.py [--quick] [--cpu]
+     PYTHONPATH=/root/repo python experiments/ac.py --compare [--quick]
+
+`--compare` runs BOTH backends (cpu-fp64 covariance-form in a subprocess,
+default-backend fp32 sqrt-form in another), with identical config/seed/PRNG
+stream (threefry is backend-deterministic), and GATES the TPU run on the CPU
+oracle: max |posterior mean difference| on the extrapolation grid must be
+below an fp32-honest tolerance. ELBO values are NOT compared — the fp32
+noise-floor rescale makes the objectives incomparable (VERDICT r3 weak #4);
+the posterior moments are the quantity with a shared meaning. Results land
+in one `results/ac_compare.json` with both runs' metrics + the tolerance.
 """
 import sys
 import pathlib
@@ -60,8 +70,81 @@ def simulate(eps, t_end, nx=101, nt=4001):
     return xs, np.array(U)
 
 
+def _extra(p):
+    p.add_argument("--dump-moments", default=None,
+                   help="npz path: save posterior mean/var on the "
+                        "extrapolation window (for --compare)")
+    p.add_argument("--compare", action="store_true",
+                   help="run cpu-fp64 and default-backend fp32-sqrt with the "
+                        "same config and gate their posterior agreement")
+
+
+# fp32-honest posterior-mean agreement bound between the cpu-fp64
+# covariance-form and tpu-fp32 sqrt-form fits on the SAME config/seed:
+# 300 MC natural-gradient iterations accumulate rounding + path differences,
+# but the posterior they converge to is the same mode. u is O(1).
+COMPARE_TOL = 0.15
+
+
+def _compare(quick: bool):
+    import json
+    import subprocess
+    import tempfile
+
+    tag = ["--quick"] if quick else []
+    with tempfile.TemporaryDirectory() as td:
+        paths = {}
+        for name, extra in (("cpu", ["--cpu"]), ("accel", [])):
+            paths[name] = f"{td}/{name}.npz"
+            cmd = [sys.executable, __file__, *tag, *extra,
+                   "--dump-moments", paths[name], "--out", td]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600)
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"ac --compare: {name} run failed:\n{r.stdout[-2000:]}"
+                    f"\n{r.stderr[-2000:]}"
+                )
+        cpu = np.load(paths["cpu"])
+        acc = np.load(paths["accel"])
+        res_cpu = json.load(open(f"{td}/ac.json"))
+        res_acc = json.load(open(f"{td}/ac_accel.json"))
+    max_dm = float(np.max(np.abs(cpu["mean"] - acc["mean"])))
+    # variances: relative agreement on the same grid (both tiny where data
+    # pins the field; compare in log space with an absolute floor)
+    max_dlogv = float(np.max(np.abs(
+        np.log(np.maximum(cpu["var"], 1e-8))
+        - np.log(np.maximum(acc["var"], 1e-8))
+    )))
+    ok = max_dm < COMPARE_TOL
+    results = {
+        "config": {"quick": quick, "tolerance_mean": COMPARE_TOL,
+                   "gate": "max|m_tpu - m_cpu| < tol on extrapolation grid"},
+        "metrics": {
+            "max_abs_mean_diff": max_dm,
+            "max_abs_log_var_diff": max_dlogv,
+            "agrees_within_tol": bool(ok),
+            "cpu": res_cpu["metrics"],
+            "accel": res_acc["metrics"],
+        },
+        "meta": {"cpu_backend": res_cpu["config"]["backend"],
+                 "accel_backend": res_acc["config"]["backend"]},
+    }
+    dump_results("results", "ac_compare", results)
+    if not ok:
+        raise SystemExit(
+            f"AC backend-equivalence gate FAILED: max|dm|={max_dm:.4f} "
+            f">= tol {COMPARE_TOL}"
+        )
+    print(f"AC backend-equivalence gate OK: max|dm|={max_dm:.4f} "
+          f"< tol {COMPARE_TOL}")
+
+
 def main():
-    args = parse_args("ac")
+    args = parse_args("ac", extra=_extra)
+    if args.compare:
+        _compare(args.quick)
+        return
     rng = np.random.default_rng(args.seed)
     eps, t_end, cut = 0.08, 3.5, 1.0
     T = 36 if args.quick else 56
@@ -129,6 +212,13 @@ def main():
             m_on, jnp.asarray(t[later], dtype), jnp.asarray(y_nlpd, dtype)
         )
     )
+    if args.dump_moments:
+        np.savez(
+            args.dump_moments,
+            mean=np.asarray(p_on.mean, np.float64)[later][:, :Ns],
+            var=np.asarray(p_on.var, np.float64)[later][:, :Ns],
+            t_later=t[later],
+        )
     results = {
         "config": {"quick": args.quick, "eps": eps, "T": T, "iters": iters,
                    "backend": "cpu-fp64" if USE_CPU else

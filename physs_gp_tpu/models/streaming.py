@@ -70,6 +70,12 @@ class StreamingGP:
     parallel: bool = static(default=False)
     sqrt: bool = static(default=False)
     chunk_size: object = static(default=None)
+    # Serving paths are fed by external data: when True (default), a segment
+    # containing a time BEFORE the previous row (or before t_last) NaN-poisons
+    # the carried state and lml, so stale/out-of-order feeds fail loudly
+    # instead of silently applying negative-dt transitions. Equal times are
+    # fine (dt=0 is an exact identity transition, the dummy-row convention).
+    strict_times: bool = static(default=True)
 
     # ---- construction ----
     @classmethod
@@ -124,6 +130,19 @@ class StreamingGP:
         ssm = ssm._replace(m0=state.m, P0=state.P)
         p = ssm.H.shape[-2]
         R = self.likelihood.R(B + 1, p)
+        if R.shape[0] != B + 1:
+            # e.g. BlockDiagonalGaussian stores per-step V over the TRAINING
+            # grid and ignores the requested T — streaming rows would silently
+            # misalign with the wrong noise covariance (or shape-error under
+            # jit). Streaming needs a T-parametric likelihood.R.
+            raise ValueError(
+                "StreamingGP requires a likelihood whose R(T, p) is "
+                f"parametric in T: requested T={B + 1} rows but got "
+                f"R with leading dim {R.shape[0]}. Length-tied likelihoods "
+                "(per-step covariances stored over a fixed training grid) "
+                "cannot stream; use the batch model or re-slice V per "
+                "segment."
+            )
         corr = None
         if self.observation is not None:
             corr = self.observation.var_correction(self.kernel)
@@ -146,9 +165,10 @@ class StreamingGP:
 
     # ---- serving API ----
     def update(self, state: StreamState, t, Y):
-        """Assimilate a segment of observations strictly after t_last.
+        """Assimilate a segment of observations at or after t_last.
 
-        t: [B] sorted times (all > state.t_last); Y: [B, p] with NaN =
+        t: [B] sorted times (all >= state.t_last; dt=0 rows are exact
+        identity transitions); Y: [B, p] with NaN =
         missing (a fixed-size serving loop pads with NaN rows). Returns the
         advanced state and this segment's filtered moments + lml increment.
         """
@@ -164,12 +184,29 @@ class StreamingGP:
             f_mean = f_mean + mu
         if corr is not None:
             f_var = f_var + corr
+        lml_inc = f.lml
+        m_last = ms[-1]
+        if self.strict_times:
+            # [t_last, t...] must be non-decreasing; a violating row means a
+            # negative dt went into transition_matrix upstream and the whole
+            # segment is untrustworthy — poison it loudly. (Equal times are
+            # exact: dt=0 gives A=I, Q=0.)
+            tc = jnp.concatenate(
+                [state.t_last[None], jnp.ravel(t).astype(state.t_last.dtype)]
+            )
+            bad = jnp.where(
+                jnp.all(tc[1:] >= tc[:-1]), 0.0, jnp.nan
+            ).astype(m_last.dtype)
+            m_last = m_last + bad
+            lml_inc = lml_inc + bad
         new_state = StreamState(
-            m=ms[-1], P=Ps[-1],
+            m=m_last, P=Ps[-1],
             t_last=jnp.asarray(jnp.ravel(t)[-1], ms.dtype),
-            lml=state.lml + f.lml,
+            lml=state.lml + lml_inc,
         )
-        return new_state, SegmentResult(f_mean=f_mean, f_var=f_var, lml=f.lml)
+        return new_state, SegmentResult(
+            f_mean=f_mean, f_var=f_var, lml=lml_inc
+        )
 
     def forecast(self, state: StreamState, t) -> GaussianMoments:
         """Predictive head moments at future times t (no assimilation).
@@ -191,6 +228,12 @@ class StreamingGP:
         f = self.forecast(state, t)
         p = f.mean.shape[-1]
         R = self.likelihood.R(t.shape[0], p)
+        if R.shape[0] != t.shape[0]:
+            raise ValueError(
+                "StreamingGP.predict_y requires a T-parametric likelihood.R "
+                f"(requested {t.shape[0]} rows, got {R.shape[0]}); see "
+                "StreamingGP.update."
+            )
         return GaussianMoments(
             mean=f.mean, var=f.var + jax.vmap(jnp.diag)(R)
         )
@@ -235,6 +278,37 @@ class StreamingCVI:
     n_iters: int = static(default=8)
     lr: float = static(default=0.5)
     hessian: str = static(default="exact")
+    strict_times: bool = static(default=True)  # see StreamingGP.strict_times
+
+    def _segment_likelihood(self, B: int):
+        """Per-segment likelihood with the dummy carry row excluded from any
+        nonlinear-residual term.
+
+        The segment's row 0 is the carried state at t_last — the FINAL data
+        row of the previous segment, whose residual contribution that segment
+        already counted. Enforcing the residual there again would (a)
+        double-count boundary residual terms in the accumulated ELBO and
+        (b) spawn a spurious collocation site (separately pinned NaN). A
+        residual_mask of [0, 1, ..., 1] removes both at the source.
+        """
+        lik = self.likelihood
+        if getattr(lik, "residual", None) is None:
+            return lik
+        rm = lik.residual_mask
+        if rm is None:
+            rm = jnp.ones(B)
+        else:
+            rm = jnp.ravel(jnp.asarray(rm))
+            if rm.shape[0] != B:
+                raise ValueError(
+                    "StreamingCVI: likelihood.residual_mask must cover one "
+                    f"segment ({B} rows), got {rm.shape[0]}. Supply the "
+                    "per-segment mask (the dummy carry row is added "
+                    "internally)."
+                )
+        return replace(
+            lik, residual_mask=jnp.concatenate([jnp.zeros(1, rm.dtype), rm])
+        )
 
     def init_state(self, t0=0.0) -> StreamState:
         """Fresh state = the stationary prior anchored at t0 (see
@@ -266,7 +340,8 @@ class StreamingCVI:
         )
         cvi = CVIGP.init(
             jnp.concatenate([state.t_last[None], t]), Yc,
-            self.kernel, self.likelihood, observation=self.observation,
+            self.kernel, self._segment_likelihood(t.shape[0]),
+            observation=self.observation,
             mean=self.mean, parallel=self.parallel, sqrt=self.sqrt,
             chunk_size=self.chunk_size, init_state=(state.m, state.P),
         )
@@ -288,8 +363,18 @@ class StreamingCVI:
             ssm, cvi.sites.V, cvi.sites.Y, parallel=self.parallel,
             sqrt=self.sqrt, chunk_size=self.chunk_size,
         )[0]
+        m_last = f.ms[-1]
+        if self.strict_times:
+            tc = jnp.concatenate(
+                [state.t_last[None], t.astype(state.t_last.dtype)]
+            )
+            bad = jnp.where(
+                jnp.all(tc[1:] >= tc[:-1]), 0.0, jnp.nan
+            ).astype(m_last.dtype)
+            m_last = m_last + bad
+            elbo = elbo + bad
         new_state = StreamState(
-            m=f.ms[-1], P=f.Ps[-1],
+            m=m_last, P=f.Ps[-1],
             t_last=jnp.asarray(t[-1], f.ms.dtype),
             lml=state.lml + elbo,
         )
