@@ -395,6 +395,216 @@ def _project_filter_moments(e: _FilterElems):
     return e.b, e.C
 
 
+# ---------------------------------------------------------------------------
+# d = 2 flat (structure-of-arrays) fast path
+#
+# At state dim 2 every combine is closed-form scalar algebra, but the
+# array-of-structures [B, 2, 2] layout wastes the TPU tile (trailing dims
+# 2x2 pad toward the 8x128 tile) and splinters each combine into many tiny
+# kernels. Packing each element into ONE [.., 14] row (A row-major | b |
+# C sym | J sym | eta) turns the whole combine into a single fused
+# elementwise kernel over lane-dense arrays — the d=2 analogue of the
+# Pallas batch-on-lanes layout, with XLA doing the fusion. Symmetric C/J
+# store 3 components each. Measured round 4 (temporal d=2 Matern-Poisson
+# CVI, T=100k): see docs/PERFORMANCE.md.
+# ---------------------------------------------------------------------------
+
+
+def _flat2_from_filter_elems(e: _FilterElems) -> jnp.ndarray:
+    """[.., 14] = [A00 A01 A10 A11 | b0 b1 | C00 C01 C11 | J00 J01 J11 |
+    eta0 eta1]."""
+    A, b, C, J, eta = e
+    return jnp.concatenate(
+        [
+            A.reshape(A.shape[:-2] + (4,)),
+            b,
+            jnp.stack([C[..., 0, 0], C[..., 0, 1], C[..., 1, 1]], -1),
+            jnp.stack([J[..., 0, 0], J[..., 0, 1], J[..., 1, 1]], -1),
+            eta,
+        ],
+        axis=-1,
+    )
+
+
+def _ident_flat2_filter(dtype):
+    return jnp.asarray([1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype)
+
+
+def _flat2_moments(x, y):
+    """Closed-form (b, C) outputs of the d=2 combine plus the (U, AjU)
+    scalars the full operator reuses — x earlier (i), y later (j)."""
+    ci00, ci01, ci11 = x[..., 6], x[..., 7], x[..., 8]
+    jj00, jj01, jj11 = y[..., 9], y[..., 10], y[..., 11]
+    # M = I + C_i J_j ; U = M^-1 (adjugate)
+    m00 = 1.0 + ci00 * jj00 + ci01 * jj01
+    m01 = ci00 * jj01 + ci01 * jj11
+    m10 = ci01 * jj00 + ci11 * jj01
+    m11 = 1.0 + ci01 * jj01 + ci11 * jj11
+    r = 1.0 / (m00 * m11 - m01 * m10)
+    u00, u01, u10, u11 = m11 * r, -m01 * r, -m10 * r, m00 * r
+    aj00, aj01, aj10, aj11 = y[..., 0], y[..., 1], y[..., 2], y[..., 3]
+    p00 = aj00 * u00 + aj01 * u10
+    p01 = aj00 * u01 + aj01 * u11
+    p10 = aj10 * u00 + aj11 * u10
+    p11 = aj10 * u01 + aj11 * u11
+    # b = AjU (b_i + C_i eta_j) + b_j
+    ej0, ej1 = y[..., 12], y[..., 13]
+    t0 = x[..., 4] + ci00 * ej0 + ci01 * ej1
+    t1 = x[..., 5] + ci01 * ej0 + ci11 * ej1
+    b0 = p00 * t0 + p01 * t1 + y[..., 4]
+    b1 = p10 * t0 + p11 * t1 + y[..., 5]
+    # C = sym(AjU C_i Aj^T) + C_j
+    x00 = p00 * ci00 + p01 * ci01
+    x01 = p00 * ci01 + p01 * ci11
+    x10 = p10 * ci00 + p11 * ci01
+    x11 = p10 * ci01 + p11 * ci11
+    y00 = x00 * aj00 + x01 * aj01
+    y01 = x00 * aj10 + x01 * aj11
+    y10 = x10 * aj00 + x11 * aj01
+    y11 = x10 * aj10 + x11 * aj11
+    c00 = y00 + y[..., 6]
+    c01 = 0.5 * (y01 + y10) + y[..., 7]
+    c11 = y11 + y[..., 8]
+    return (u00, u01, u10, u11), (p00, p01, p10, p11), (b0, b1), (c00, c01, c11)
+
+
+def _flat2_filtering_operator(x, y):
+    U, P, (b0, b1), (c00, c01, c11) = _flat2_moments(x, y)
+    u00, u01, u10, u11 = U
+    p00, p01, p10, p11 = P
+    ai00, ai01, ai10, ai11 = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    # A = AjU A_i
+    A00 = p00 * ai00 + p01 * ai10
+    A01 = p00 * ai01 + p01 * ai11
+    A10 = p10 * ai00 + p11 * ai10
+    A11 = p10 * ai01 + p11 * ai11
+    # W = U A_i ; w = eta_j - J_j b_i ; eta = W^T w + eta_i
+    w00 = u00 * ai00 + u01 * ai10
+    w01 = u00 * ai01 + u01 * ai11
+    w10 = u10 * ai00 + u11 * ai10
+    w11 = u10 * ai01 + u11 * ai11
+    jj00, jj01, jj11 = y[..., 9], y[..., 10], y[..., 11]
+    bi0, bi1 = x[..., 4], x[..., 5]
+    wv0 = y[..., 12] - (jj00 * bi0 + jj01 * bi1)
+    wv1 = y[..., 13] - (jj01 * bi0 + jj11 * bi1)
+    E0 = w00 * wv0 + w10 * wv1 + x[..., 12]
+    E1 = w01 * wv0 + w11 * wv1 + x[..., 13]
+    # J = sym(W^T (J_j A_i)) + J_i
+    q00 = jj00 * ai00 + jj01 * ai10
+    q01 = jj00 * ai01 + jj01 * ai11
+    q10 = jj01 * ai00 + jj11 * ai10
+    q11 = jj01 * ai01 + jj11 * ai11
+    J00 = w00 * q00 + w10 * q10
+    J01 = w00 * q01 + w10 * q11
+    J10 = w01 * q00 + w11 * q10
+    J11 = w01 * q01 + w11 * q11
+    return jnp.stack(
+        [
+            A00, A01, A10, A11,
+            b0, b1,
+            c00, c01, c11,
+            J00 + x[..., 9], 0.5 * (J01 + J10) + x[..., 10],
+            J11 + x[..., 11],
+            E0, E1,
+        ],
+        axis=-1,
+    )
+
+
+def _unflat2_moments(b0, b1, c00, c01, c11):
+    b = jnp.stack([b0, b1], -1)
+    C = jnp.stack(
+        [jnp.stack([c00, c01], -1), jnp.stack([c01, c11], -1)], -2
+    )
+    return b, C
+
+
+def _flat2_filtering_final(x, y):
+    """Distribute-stage combine emitting only (b, C) — unflattened for the
+    downstream consumers; skips the A/eta/J output algebra entirely."""
+    _, _, (b0, b1), (c00, c01, c11) = _flat2_moments(x, y)
+    return _unflat2_moments(b0, b1, c00, c01, c11)
+
+
+def _flat2_project_filter(x):
+    return _unflat2_moments(
+        x[..., 4], x[..., 5], x[..., 6], x[..., 7], x[..., 8]
+    )
+
+
+def _flat2_from_smoother_elems(e: "_SmootherElems") -> jnp.ndarray:
+    """[.., 9] = [E00 E01 E10 E11 | g0 g1 | L00 L01 L11]."""
+    E, g, L = e
+    return jnp.concatenate(
+        [
+            E.reshape(E.shape[:-2] + (4,)),
+            g,
+            jnp.stack([L[..., 0, 0], L[..., 0, 1], L[..., 1, 1]], -1),
+        ],
+        axis=-1,
+    )
+
+
+def _ident_flat2_smoother(dtype):
+    return jnp.asarray([1, 0, 0, 1, 0, 0, 0, 0, 0], dtype)
+
+
+def _flat2_smoothing_moments(a, b):
+    """(g, L sym) of the reverse-scan combine: a = ej (flipped-domain
+    prefix, the real-time suffix), b = ei (earlier)."""
+    ei00, ei01, ei10, ei11 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    gj0, gj1 = a[..., 4], a[..., 5]
+    g0 = ei00 * gj0 + ei01 * gj1 + b[..., 4]
+    g1 = ei10 * gj0 + ei11 * gj1 + b[..., 5]
+    lj00, lj01, lj11 = a[..., 6], a[..., 7], a[..., 8]
+    x00 = ei00 * lj00 + ei01 * lj01
+    x01 = ei00 * lj01 + ei01 * lj11
+    x10 = ei10 * lj00 + ei11 * lj01
+    x11 = ei10 * lj01 + ei11 * lj11
+    y00 = x00 * ei00 + x01 * ei01
+    y01 = x00 * ei10 + x01 * ei11
+    y10 = x10 * ei00 + x11 * ei01
+    y11 = x10 * ei10 + x11 * ei11
+    l00 = y00 + b[..., 6]
+    l01 = 0.5 * (y01 + y10) + b[..., 7]
+    l11 = y11 + b[..., 8]
+    return (g0, g1), (l00, l01, l11)
+
+
+def _flat2_smoothing_operator(a, b):
+    (g0, g1), (l00, l01, l11) = _flat2_smoothing_moments(a, b)
+    ei00, ei01, ei10, ei11 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    ej00, ej01, ej10, ej11 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    e00 = ei00 * ej00 + ei01 * ej10
+    e01 = ei00 * ej01 + ei01 * ej11
+    e10 = ei10 * ej00 + ei11 * ej10
+    e11 = ei10 * ej01 + ei11 * ej11
+    return jnp.stack(
+        [e00, e01, e10, e11, g0, g1, l00, l01, l11], axis=-1
+    )
+
+
+def _flat2_smoothing_final(a, b):
+    (g0, g1), (l00, l01, l11) = _flat2_smoothing_moments(a, b)
+    g = jnp.stack([g0, g1], -1)
+    L = jnp.stack(
+        [jnp.stack([l00, l01], -1), jnp.stack([l01, l11], -1)], -2
+    )
+    return g, L
+
+
+def _flat2_project_smoother(x):
+    g = jnp.stack([x[..., 4], x[..., 5]], -1)
+    L = jnp.stack(
+        [
+            jnp.stack([x[..., 6], x[..., 7]], -1),
+            jnp.stack([x[..., 7], x[..., 8]], -1),
+        ],
+        -2,
+    )
+    return g, L
+
+
 def _per_step_lml(A, Q, H, R, y, mask, ms, m0, P0, Ps):
     """Post-hoc vmapped per-step lml from one-step-ahead predictive moments
     (ref: `parallel_kalman_filter.py:303-334`). Also returns the predicted
@@ -423,14 +633,22 @@ def parallel_kalman_filter(
     bounding peak memory for very long series.
     """
     T = y.shape[0]
+    d = m0.shape[-1]
     if mask is None:
         mask = observation_mask(y, P0.dtype)
     H_steps = jnp.broadcast_to(H, (T,) + H.shape[-2:]) if H.ndim == 2 else H
 
     if chunk_size is None or chunk_size >= T:
         elems = _build_filter_elements(A, Q, H_steps, R, y, mask, m0, P0)
-        scanned = jax.lax.associative_scan(_filtering_operator, elems)
-        ms, Ps = scanned.b, scanned.C
+        if d == 2:
+            flat = _flat2_from_filter_elems(elems)
+            scanned = jax.lax.associative_scan(
+                _flat2_filtering_operator, flat
+            )
+            ms, Ps = _flat2_project_filter(scanned)
+        else:
+            scanned = jax.lax.associative_scan(_filtering_operator, elems)
+            ms, Ps = scanned.b, scanned.C
     else:
         # Chunked mode: the inter-chunk carry is the FILTERED STATE (m, P) —
         # a sufficient statistic by Markovianity — not a combined element.
@@ -452,12 +670,23 @@ def parallel_kalman_filter(
             elems = _build_filter_elements(
                 A_c, Q_c, H_c, R_c, y_c, mask_c, m_prev, P_prev
             )
-            (ms_c, Ps_c), _ = _inner_scan_ex(
-                _filtering_operator, elems,
-                ident=_ident_filter_elem(elems.A.shape[-1], elems.A.dtype),
-                final_op=_filtering_final,
-                project=_project_filter_moments,
-            )
+            if d == 2:
+                (ms_c, Ps_c), _ = _inner_scan_ex(
+                    _flat2_filtering_operator,
+                    _flat2_from_filter_elems(elems),
+                    ident=_ident_flat2_filter(elems.A.dtype),
+                    final_op=_flat2_filtering_final,
+                    project=_flat2_project_filter,
+                )
+            else:
+                (ms_c, Ps_c), _ = _inner_scan_ex(
+                    _filtering_operator, elems,
+                    ident=_ident_filter_elem(
+                        elems.A.shape[-1], elems.A.dtype
+                    ),
+                    final_op=_filtering_final,
+                    project=_project_filter_moments,
+                )
             Ps_c = symmetrize(Ps_c)
             return (ms_c[-1], Ps_c[-1]), (ms_c, Ps_c)
 
@@ -559,10 +788,19 @@ def parallel_rts_smoother(
     # contiguous copies buy fully-forward iteration everywhere. Operator
     # argument order is unchanged — in the flipped domain the "prefix" is
     # the real-time suffix, which is exactly _smoothing_operator's ej.
-    flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
+    if d == 2:
+        flipped = _flat2_from_smoother_elems(elems)[::-1]
+    else:
+        flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
     if chunk_size is None or chunk_size >= T:
-        scanned = jax.lax.associative_scan(_smoothing_operator, flipped)
-        gs, Ls = scanned.g, scanned.L
+        if d == 2:
+            scanned = jax.lax.associative_scan(
+                _flat2_smoothing_operator, flipped
+            )
+            gs, Ls = _flat2_project_smoother(scanned)
+        else:
+            scanned = jax.lax.associative_scan(_smoothing_operator, flipped)
+            gs, Ls = scanned.g, scanned.L
     else:
         assert T % chunk_size == 0, "T must be divisible by chunk_size"
         n_chunks = T // chunk_size
@@ -573,22 +811,34 @@ def parallel_rts_smoother(
         def chunk_step(carry, chunk_elems):
             # inter-chunk carry folds into the scan's block-totals pass
             # (`init=`), replacing the former extra full-width combine
-            (g_c, L_c), last = _inner_scan_ex(
-                _smoothing_operator, chunk_elems,
-                ident=_ident_smoother_elem(
-                    chunk_elems.E.shape[-1], chunk_elems.E.dtype
-                ),
-                final_op=_smoothing_final,
-                project=_project_smoother_moments,
-                init=carry,
-            )
+            if d == 2:
+                (g_c, L_c), last = _inner_scan_ex(
+                    _flat2_smoothing_operator, chunk_elems,
+                    ident=_ident_flat2_smoother(chunk_elems.dtype),
+                    final_op=_flat2_smoothing_final,
+                    project=_flat2_project_smoother,
+                    init=carry,
+                )
+            else:
+                (g_c, L_c), last = _inner_scan_ex(
+                    _smoothing_operator, chunk_elems,
+                    ident=_ident_smoother_elem(
+                        chunk_elems.E.shape[-1], chunk_elems.E.dtype
+                    ),
+                    final_op=_smoothing_final,
+                    project=_project_smoother_moments,
+                    init=carry,
+                )
             return last, (g_c, L_c)
 
-        init = _SmootherElems(
-            E=jnp.eye(d, dtype=dtype),
-            g=jnp.zeros((d,), dtype),
-            L=jnp.zeros((d, d), dtype),
-        )
+        if d == 2:
+            init = _ident_flat2_smoother(dtype)
+        else:
+            init = _SmootherElems(
+                E=jnp.eye(d, dtype=dtype),
+                g=jnp.zeros((d,), dtype),
+                L=jnp.zeros((d, d), dtype),
+            )
         _, (gs, Ls) = jax.lax.scan(chunk_step, init, chunked)
         gs = gs.reshape((T,) + gs.shape[2:])
         Ls = Ls.reshape((T,) + Ls.shape[2:])

@@ -111,16 +111,22 @@ def _build_sqrt_elements(A, Q_sqrt, H, R_sqrt, y, mask, m0, U0):
     L_S = tria(jnp.concatenate([HU, Rs_m], axis=-1), assume_full_rank=True)
 
     v = y0 - jnp.einsum("tpj,tj->tp", Hm, m_loc)
-    Sv = _solve_tri(L_S, v[..., None])[..., 0]  # S^-1/2 v
-    N = _solve_tri(L_S, HU)  # [T, p, d] = S^-1/2 H Up
-    M = _solve_tri(L_S, Hm)  # [T, p, d] = S^-1/2 H
+    # ONE batched solve against L_S for all four right-hand sides (each GJ /
+    # triangular-solve launch re-eliminates the same L_S; extra RHS columns
+    # ride along in the same pass):
+    sol = _solve_tri(
+        L_S, jnp.concatenate([v[..., None], HU, Hm, Rs_m], axis=-1)
+    )
+    Sv = sol[..., 0]  # S^-1/2 v
+    N = sol[..., 1 : 1 + d]  # [T, p, d] = S^-1/2 H Up
+    M = sol[..., 1 + d : 1 + 2 * d]  # [T, p, d] = S^-1/2 H
+    Rtil = sol[..., 1 + 2 * d :]  # [T, p, p] = S^-1/2 R^1/2
     KS = bmm(Up_loc, N, tb=True)  # K S^1/2 = Up N^T
     b_out = m_loc + jnp.einsum("tip,tp->ti", KS, Sv)
     KH = bmm(KS, M)  # K Hm
     A_out = A - jnp.einsum("tij,tjk->tik", KH, A)
 
     # Joseph-form posterior factor: U' U'^T = (I-KH) P (I-KH)^T + K R K^T
-    Rtil = _solve_tri(L_S, Rs_m)  # [T, p, p] = S^-1/2 R^1/2
     U_out = tria_sum(Up_loc - bmm(KH, Up_loc), bmm(KS, Rtil))
 
     # eta = A^T Hm^T S^-1 v = A^T (M^T Sv); Z = tria(A^T M^T)
@@ -157,25 +163,31 @@ def _broadcast_batch(e1, e2):
     )
 
 
-def _sqrt_filtering_moments(e1, e2):
+def _sqrt_filtering_moments(e1, e2, G=None, Xi=None):
     """Shared core of the sqrt filtering combine: the Woodbury factors and
     the moment outputs (b, U), plus the intermediates (G, Xi, W1, XiG,
     A2W1) the full operator's A/eta/Z outputs build on — ONE implementation
     so the reduced distribute combine cannot desynchronize from the scan
-    operator. Inputs must already be batch-broadcast."""
+    operator. Inputs must already be batch-broadcast. `G`/`Xi` optionally
+    inject precomputed factors (the full operator builds Xi jointly with its
+    Lam twin in one batched LQ)."""
     d = e1.A.shape[-1]
     dtype = e1.A.dtype
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
-    G = bmm(e1.U, e2.Z, ta=True)  # U1^T Z2 [d, d]
-    # info-side Woodbury factors stay on the LQ (chol-of-Gram cannot resolve
-    # ||G||^2 > 1/eps spreads — see ops/pallas/batched_chol.py); [G, I] has
-    # full row rank, so the regularisation block is skipped
-    Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
-    # W1 = U1 Xi^-T  (right-solve)
-    W1 = jnp.swapaxes(
-        _solve_tri(Xi, jnp.swapaxes(e1.U, -1, -2), lower=True), -1, -2
+    if G is None:
+        G = bmm(e1.U, e2.Z, ta=True)  # U1^T Z2 [d, d]
+    if Xi is None:
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
+        # info-side Woodbury factors stay on the LQ (chol-of-Gram cannot
+        # resolve ||G||^2 > 1/eps spreads — see ops/pallas/batched_chol.py);
+        # [G, I] has full row rank, so the regularisation block is skipped
+        Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
+    # ONE batched solve against Xi for both right-hand sides:
+    #   W1 = U1 Xi^-T (right-solve via the transposed RHS), XiG = Xi^-1 G
+    sol = _solve_tri(
+        Xi, jnp.concatenate([jnp.swapaxes(e1.U, -1, -2), G], axis=-1)
     )
-    XiG = _solve_tri(Xi, G)
+    W1 = jnp.swapaxes(sol[..., :d], -1, -2)
+    XiG = sol[..., d:]
     A2W1 = bmm(e2.A, W1)
     # b = b2 + A2 (u - W1 Xi^-1 G Z2^T u),  u = b1 + U1 U1^T eta2
     u = e1.b + jnp.einsum("...ij,...kj,...k->...i", e1.U, e1.U, e2.eta)
@@ -188,18 +200,37 @@ def _sqrt_filtering_moments(e1, e2):
 
 
 def _sqrt_filtering_operator(e1, e2):
-    """Associative combine in square-root form (e1 earlier, e2 later)."""
+    """Associative combine in square-root form (e1 earlier, e2 later).
+
+    Launch-count discipline (the sqrt-path tax is per-kernel overhead at
+    lane-batched shapes, not FLOPs): the Xi/Lam Woodbury twins are ONE LQ
+    call on the batch-stacked pre-arrays, and each factor's triangular
+    solves take all right-hand sides in ONE pass (W1+XiG against Xi,
+    V2+corr against Lam)."""
     e1, e2 = _broadcast_batch(e1, e2)
     d = e1.A.shape[-1]
     dtype = e1.A.dtype
     eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
-    G, Xi, W1, XiG, A2W1, b, U = _sqrt_filtering_moments(e1, e2)
-    Lam = tria(jnp.concatenate([jnp.swapaxes(G, -1, -2), eye], axis=-1),
-               assume_full_rank=True)
-    # V2 = Z2 Lam^-T
-    V2 = jnp.swapaxes(
-        _solve_tri(Lam, jnp.swapaxes(e2.Z, -1, -2), lower=True), -1, -2
-    )
+    G = bmm(e1.U, e2.Z, ta=True)  # U1^T Z2 [d, d]
+    Gt = jnp.swapaxes(G, -1, -2)
+    if G.ndim >= 3:
+        # Xi = tria([G, I]) and Lam = tria([G^T, I]) in one batched LQ —
+        # stacked along the batch axis, so one kernel launch serves both
+        nb = G.shape[-3]
+        pre = jnp.concatenate(
+            [
+                jnp.concatenate([G, eye], axis=-1),
+                jnp.concatenate([Gt, eye], axis=-1),
+            ],
+            axis=-3,
+        )
+        XiLam = tria(pre, assume_full_rank=True)
+        Xi = XiLam[..., :nb, :, :]
+        Lam = XiLam[..., nb:, :, :]
+    else:
+        Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
+        Lam = tria(jnp.concatenate([Gt, eye], axis=-1), assume_full_rank=True)
+    _, _, W1, XiG, A2W1, b, U = _sqrt_filtering_moments(e1, e2, G=G, Xi=Xi)
 
     # A = A2 A1 - (A2 W1) (Xi^-1 G) (Z2^T A1)
     Z2tA1 = bmm(e2.Z, e1.A, ta=True)
@@ -208,16 +239,23 @@ def _sqrt_filtering_operator(e1, e2):
     # eta = eta1 + A1^T (w - Z2 Lam^-T Lam^-1 G^T U1^T w), w = eta2 - Z2 Z2^T b1
     w = e2.eta - jnp.einsum("...ij,...kj,...k->...i", e2.Z, e2.Z, e1.b)
     GtU1tw = jnp.einsum("...ji,...kj,...k->...i", G, e1.U, w)  # G^T U1^T w
-    corr = jnp.einsum(
-        "...ij,...j->...i",
-        V2,
-        _solve_tri(Lam, GtU1tw[..., None])[..., 0],
+    # ONE solve against Lam for both RHS: V2^T = Lam^-1 Z2^T and
+    # lg = Lam^-1 G^T U1^T w
+    sol = _solve_tri(
+        Lam,
+        jnp.concatenate(
+            [jnp.swapaxes(e2.Z, -1, -2), GtU1tw[..., None]], axis=-1
+        ),
     )
+    V2t = sol[..., :d]  # Lam^-1 Z2^T  (V2 = Z2 Lam^-T = V2t^T)
+    lg = sol[..., d]
+    corr = jnp.einsum("...ji,...j->...i", V2t, lg)
     eta = e1.eta + jnp.einsum("...ji,...j->...i", e1.A, w - corr)
 
     # info-side: LQ (see Xi/Lam note); rank-deficient (zeroed) inputs need
-    # tria's regularised/zero-bypass path
-    Z = tria(jnp.concatenate([bmm(e1.A, V2, ta=True), e1.Z], axis=-1))
+    # tria's regularised/zero-bypass path. A1^T V2 = (V2t A1)^T in-kernel.
+    Z = tria(jnp.concatenate([bmm(e1.A, V2t, ta=True, tb=True), e1.Z],
+                             axis=-1))
     return _SqrtFilterElems(A=A, b=b, U=U, eta=eta, Z=Z)
 
 

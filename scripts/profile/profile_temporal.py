@@ -33,18 +33,24 @@ def main():
 
     T = 100_000
     results = {}
-    for mode in ("blocked", "assoc"):
-        for chunk in (20_000, 50_000, 100_000, None):
-            if mode == "assoc" and chunk is None:
-                continue  # unchunked assoc at T=100k: compile blowup risk
-            os.environ["PHYSS_INNER_SCAN"] = mode
-            m = build_temporal(T, chunk)
-            dt, e = time_step(m)
-            sps = T / dt
-            results[(mode, chunk)] = sps
-            print(f"mode={mode:8s} chunk={str(chunk):7s} "
-                  f"{dt * 1e3:8.2f} ms/step  {sps / 1e6:6.2f} M steps/s "
-                  f"elbo={e:.4f}", flush=True)
+    cases = [
+        # (mode, blocks, chunk); blocks only matters for blocked mode
+        ("blocked", 256, 20_000), ("blocked", 256, 50_000),
+        ("blocked", 1024, 50_000), ("blocked", 4096, 50_000),
+        ("blocked", 4096, 100_000), ("blocked", 1024, 100_000),
+        ("assoc", 0, 20_000), ("assoc", 0, 50_000), ("assoc", 0, 100_000),
+    ]
+    for mode, blocks, chunk in cases:
+        os.environ["PHYSS_INNER_SCAN"] = mode
+        if blocks:
+            os.environ["PHYSS_SCAN_BLOCKS"] = str(blocks)
+        m = build_temporal(T, chunk)
+        dt, e = time_step(m)
+        sps = T / dt
+        results[(mode, blocks, chunk)] = sps
+        print(f"mode={mode:8s} blocks={blocks:5d} chunk={str(chunk):7s} "
+              f"{dt * 1e3:8.2f} ms/step  {sps / 1e6:6.2f} M steps/s "
+              f"elbo={e:.4f}", flush=True)
     best = max(results, key=results.get)
     print("BEST:", best, f"{results[best] / 1e6:.2f} M steps/s")
 

@@ -22,8 +22,8 @@ run() {
     | tee -a "$OUT/summary.log"
 }
 run verify   python .claude/skills/verify/verify_ssgp.py
-run steps    python -u experiments/time_steps.py
-run profile  python -u experiments/profile_c5f.py
+run steps    python -u scripts/profile/time_steps.py
+run profile  python -u scripts/profile/profile_c5f.py
 run bench    python bench.py
-run fusedAB  env PHYSS_FUSED_NARROW=256 python -u experiments/time_steps.py
+run fusedAB  env PHYSS_FUSED_NARROW=256 python -u scripts/profile/time_steps.py
 echo "DONE — read $OUT/summary.log" | tee -a "$OUT/summary.log"
