@@ -275,11 +275,12 @@ def _inner_scan_ex(op, elems, ident=None, final_op=None, project=None,
 
     mode = os.environ.get("PHYSS_INNER_SCAN")
     if mode is None:
-        # blocked stays the TPU default at EVERY d (measured round 4, d=2
-        # T=100k temporal sweep: blocked 8.2-9.1 M steps/s vs assoc
-        # 6.6-8.2 M across chunk sizes — even where all combines are
-        # closed-form XLA, blocked's 256-wide batches beat assoc's
-        # sub-256-element upper levels).
+        # blocked stays the TPU default at EVERY d (round-4 IN-GRAPH sweep,
+        # profile_temporal5.py, d=2 T=100k: blocked 3.2 ms/pass at 1024
+        # blocks vs assoc 6.2-6.5 ms — even where all combines are
+        # closed-form XLA, assoc's ~2 full-width HBM passes per level lose
+        # to blocked's lane-wide sequential iterations; single-dispatch
+        # sweeps are relay-floor-bound (~8 ms no-op) and cannot rank these).
         mode = "blocked" if (_on_tpu_backend() and ident is not None) else "assoc"
     # legacy knob: PHYSS_PREFIX_COMBINE=1 forces the prefix schedule and
     # takes precedence over the blocked TPU default (the measurements in

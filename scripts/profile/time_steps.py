@@ -1,6 +1,8 @@
 """Time the config-5 full CVI step, covariance and sqrt forms, on the TPU.
 
-Chain-call timing per CLAUDE.md rule 8 (host float() sync each rep chain).
+Measured as an ON-DEVICE K-step lax.scan loop per dispatch (single-dispatch
+timings carry the ~8 ms relay floor; only in-graph time is real — CLAUDE.md
+rule 8), chained with a host float() sync at the end.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/time_steps.py
 """
@@ -10,21 +12,29 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
-import jax.numpy as jnp
 
-from bench import CHUNK, T5, build_config5
+from physs_gp_tpu.trainers import natgrad_scan
 from physs_gp_tpu.utils.struct import replace
+from physs_gp_tpu.zoo.bench_configs import build_config5
+
+T5 = 100_000
+CHUNK = 20_000
+K = 3
 
 
-def time_step(m, reps=5):
-    step = jax.jit(lambda mm: mm.step_with_elbo(0.5))
-    m2, e = step(m)
-    _ = float(e)
+def time_step(m, reps=2):
+    step = jax.jit(
+        lambda mm: natgrad_scan(mm, 0.5, n_steps=K, nan_guard=False)[0]
+    )
+    m2 = step(m)
+    _ = float(m2.sites.Y[0, 0])
     t0 = time.perf_counter()
     for _ in range(reps):
-        m2, e = step(m2)
-    _ = float(e)
-    return (time.perf_counter() - t0) / reps, float(e)
+        m2 = step(m2)
+    _ = float(m2.sites.Y[0, 0])
+    dt = (time.perf_counter() - t0) / (reps * K)
+    elbo = float(jax.jit(lambda mm: mm.elbo())(m2))
+    return dt, elbo
 
 
 def main():
@@ -36,6 +46,7 @@ def main():
     dts, es = time_step(ms)
     print(f"sqrt step {dts*1e3:8.1f} ms  ({T5/dts:9.1f} steps/s)  elbo {es:.6e}",
           flush=True)
+    print(f"sqrt/cov tax: {dts/dt:.2f}x")
 
 
 if __name__ == "__main__":

@@ -177,3 +177,70 @@ def test_multioutput_cvi_partial_nan_matches_exact():
                                atol=1e-9)
     np.testing.assert_allclose(post_cvi.var, post_ex.var, rtol=1e-6,
                                atol=1e-9)
+
+
+def test_natgrad_scan_matches_host_loop():
+    """In-graph natgrad_scan == looping step_with_elbo on the host."""
+    from physs_gp_tpu.trainers import natgrad_scan
+
+    rng = np.random.default_rng(2)
+    T = 50
+    t = np.sort(rng.uniform(0, 6, T))
+    y = rng.poisson(np.exp(1.1 * np.sin(t)))
+    m = CVIGP.init(jnp.asarray(t), jnp.asarray(y * 1.0)[:, None],
+                   Matern32(lengthscale=2.0), Poisson())
+
+    m_scan, elbos = jax.jit(
+        lambda mm: natgrad_scan(mm, 0.5, n_steps=4)
+    )(m)
+
+    m_host = m
+    host_elbos = []
+    step = jax.jit(lambda mm: mm.step_with_elbo(0.5))
+    for _ in range(4):
+        m_host, e = step(m_host)
+        host_elbos.append(float(e))
+
+    np.testing.assert_allclose(np.asarray(elbos), host_elbos, rtol=1e-10)
+    np.testing.assert_allclose(m_scan.sites.Y, m_host.sites.Y, rtol=1e-12)
+    np.testing.assert_allclose(m_scan.sites.V, m_host.sites.V, rtol=1e-12)
+    assert np.all(np.diff(np.asarray(elbos)) > 0)  # monotone on conjugate-ish
+
+
+def test_natgrad_scan_nan_guard_reverts():
+    """A step that NaNs the sites is reverted in-graph (no propagation)."""
+    from physs_gp_tpu.trainers import natgrad_scan
+
+    rng = np.random.default_rng(3)
+    T = 40
+    t = np.sort(rng.uniform(0, 6, T))
+    y = rng.poisson(np.exp(np.sin(t)))
+    m = CVIGP.init(jnp.asarray(t), jnp.asarray(y * 1.0)[:, None],
+                   Matern32(lengthscale=2.0), Poisson())
+    # an absurd lr drives the site update non-finite on some step; the guard
+    # must keep every carried site leaf finite-patterned
+    m2, elbos = jax.jit(
+        lambda mm: natgrad_scan(mm, jnp.asarray([0.5, 1e12, 0.5, 0.5]))
+    )(m)
+    assert bool(jnp.all(jnp.isfinite(m2.sites.V)))
+    assert bool(jnp.all(jnp.isfinite(m2.sites.Y)
+                        == jnp.isfinite(m.sites.Y)))
+    assert np.isfinite(float(elbos[-1]))
+
+
+def test_vb_ng_adam_scan_trains():
+    """In-graph VB_NG_ADAM improves the ELBO and moves hyperparameters."""
+    from physs_gp_tpu.trainers import vb_ng_adam_scan
+
+    rng = np.random.default_rng(4)
+    T = 50
+    t = np.sort(rng.uniform(0, 6, T))
+    y = rng.poisson(np.exp(1.1 * np.sin(t)))
+    m = CVIGP.init(jnp.asarray(t), jnp.asarray(y * 1.0)[:, None],
+                   Matern32(lengthscale=2.0), Poisson())
+    ls0 = float(m.kernel.lengthscales.value)
+    m2, elbos = jax.jit(
+        lambda mm: vb_ng_adam_scan(mm, n_steps=8, adam_lr=5e-2, ng_lr=0.5)
+    )(m)
+    assert float(elbos[-1]) > float(elbos[0])
+    assert abs(float(m2.kernel.lengthscales.value) - ls0) > 1e-4
