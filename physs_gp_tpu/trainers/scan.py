@@ -25,7 +25,7 @@ import optax
 
 from ..utils.training import trainable_mask, zero_untrainable
 
-__all__ = ["natgrad_scan", "vb_ng_adam_scan"]
+__all__ = ["adam_scan", "natgrad_scan", "vb_ng_adam_scan"]
 
 
 def _as_lrs(lrs, n_steps, dtype=jnp.float32):
@@ -94,6 +94,36 @@ def natgrad_scan(model: Any, lrs, n_steps: int | None = None,
         return m2, elbo
 
     return jax.lax.scan(body, model, (lrs, keys))
+
+
+def adam_scan(model: Any, n_steps: int, lr: float = 1e-2, key=None):
+    """N Adam steps on the trainable hyperparameters in one compiled graph
+    (in-graph counterpart of ``AdamTrainer``; any model exposing
+    ``get_objective()``). Returns ``(model, losses)``."""
+    opt = optax.adam(lr)
+    mask = trainable_mask(model)
+    opt_state = opt.init(model)
+    keys = (
+        jax.random.split(key, n_steps)
+        if key is not None
+        else jnp.zeros((n_steps, 2), jnp.uint32)
+    )
+    has_key = key is not None
+
+    def body(carry, k):
+        m, s = carry
+        obj = (
+            (lambda mm: mm.get_objective(key=k))
+            if has_key
+            else (lambda mm: mm.get_objective())
+        )
+        loss, grads = jax.value_and_grad(obj)(m)
+        grads = zero_untrainable(grads, mask)
+        updates, s = opt.update(grads, s)
+        return (optax.apply_updates(m, updates), s), loss
+
+    (model, _), losses = jax.lax.scan(body, (model, opt_state), keys)
+    return model, losses
 
 
 def vb_ng_adam_scan(model: Any, n_steps: int, adam_lr: float = 1e-2,

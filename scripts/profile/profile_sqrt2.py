@@ -1,129 +1,131 @@
-"""Finer sqrt-path attribution: element build vs inner scan vs lml, plus
-wide-batch per-op microbenches (the B=256 numbers carry per-call overhead).
+"""Config-5 sqrt-path IN-GRAPH stage attribution (vs covariance form).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/profile_sqrt2.py
+Each stage loops K times inside one jit (single-dispatch timings carry the
+~8 ms relay floor; at 350-620 ms steps the floor is small but the in-place
+carry reuse is not — match the bench methodology). Carry is the model; every
+stage folds a 1e-30-scaled output into sites.Y so XLA cannot hoist it.
+
+Run: PYTHONPATH=/root/repo python -u scripts/profile/profile_sqrt2.py
 """
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/scripts/profile")
 
 import jax
 import jax.numpy as jnp
 
-from bench import CHUNK, T5, build_config5
-from physs_gp_tpu.utils.struct import replace
-from profile_sqrt import _chain_model, micro, time_probe
+T = 100_000
+CHUNK = 20_000
+K = 2
+
+
+def chain_time(fn, m, n=2):
+    step = jax.jit(fn)
+    m2 = step(m)
+    _ = float(m2.sites.Y[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        m2 = step(m2)
+    _ = float(m2.sites.Y[0, 0])
+    return (time.perf_counter() - t0) / (n * K)
 
 
 def main():
+    from physs_gp_tpu.ops.runner import run_filter, run_filter_smoother
     from physs_gp_tpu.ops.lgssm import build_lgssm
-    from physs_gp_tpu.ops.matrix import bmm, gen_solve, safe_cholesky_rel
-    from physs_gp_tpu.ops.parallel_sqrt_kalman import (
-        _SqrtFilterElems,
-        _build_sqrt_elements,
-        _per_step_lml_sqrt,
-        _sqrt_filtering_operator,
-    )
-    from physs_gp_tpu.ops.kalman import observation_mask
-    from physs_gp_tpu.ops.parallel_kalman import _inner_scan
-    from physs_gp_tpu.ops.sqrt_kalman import tria, tria_sum
+    from physs_gp_tpu.utils.struct import replace
+    from physs_gp_tpu.zoo.bench_configs import build_config5
 
-    B, d = 20_000, 32
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
-    X64 = jax.random.normal(ks[0], (B, d, 2 * d), jnp.float32)
-    M = jnp.eye(d) + 0.1 * jax.random.normal(ks[1], (B, d, d), jnp.float32)
-    Rhs = jax.random.normal(ks[2], (B, d, d), jnp.float32)
+    m = build_config5(T, CHUNK)
 
-    out = {}
-    out["tria[20k,32,64]fr"] = micro(
-        lambda c: tria(X64 * (1 + c), assume_full_rank=True), n_iter=50)
-    out["tria[20k,32,64]reg"] = micro(lambda c: tria(X64 * (1 + c)), n_iter=50)
-    out["tria_sum[20k,32+32]"] = micro(
-        lambda c: tria_sum(M * (1 + c), Rhs), n_iter=50)
-    out["gj_solve[20k,32,32]"] = micro(
-        lambda c: gen_solve(M * (1 + c), Rhs), n_iter=50)
-    out["bmm[20k,32,32]"] = micro(lambda c: bmm(M * (1 + c), Rhs), n_iter=50)
-    for k, v in out.items():
-        print(f"{k:22s} {v*1e6:9.2f} us/call  ({v/B*1e9:7.1f} ns/matrix)",
-              flush=True)
+    def loop(stage):
+        def run(mm):
+            def body(carry, _):
+                return stage(carry), None
 
-    # staged sqrt filter probes on the real config-5 model
-    m = replace(build_config5(T5, CHUNK), sqrt=True)
+            out, _ = jax.lax.scan(body, mm, None, length=K)
+            return out
 
-    def inputs(mm):
-        ssm = build_lgssm(mm.kernel, mm.t)
+        return run
+
+    def fold(mm, x):
+        return replace(mm, sites=replace(mm.sites, Y=mm.sites.Y + 1e-30 * x))
+
+    def ssm_of(mm):
+        ssm = build_lgssm(mm.kernel, mm.t + 1e-30 * mm.sites.Y[0, 0])
         if mm.observation is not None:
             ssm = ssm._replace(H=mm.observation.H(mm.kernel))
-        return ssm, mm.sites.V, mm.sites.Y
+        return ssm
 
-    def chunked_parts(mm, with_scan):
-        ssm, R, Y = inputs(mm)
-        T = Y.shape[0]
-        Q_sqrt = safe_cholesky_rel(ssm.Q)
-        R_sqrt = safe_cholesky_rel(R)
-        P0_sqrt = safe_cholesky_rel(ssm.P0)
-        mask = observation_mask(Y, P0_sqrt.dtype)
-        H = ssm.H if ssm.H.ndim == 3 else jnp.broadcast_to(
-            ssm.H, (T,) + ssm.H.shape)
-        n_chunks = T // CHUNK
-        parts = jax.tree_util.tree_map(
-            lambda x: x.reshape((n_chunks, CHUNK) + x.shape[1:]),
-            (ssm.A, Q_sqrt, H, R_sqrt, Y, mask),
-        )
+    def s_filter(sqrt):
+        def f(mm):
+            ssm = ssm_of(mm)
+            fr, _ = run_filter(ssm, mm.sites.V, mm.sites.Y, parallel=True,
+                               sqrt=sqrt, chunk_size=mm.chunk_size)
+            return fold(mm, fr.lml + jnp.sum(fr.ms[-1]))
 
-        def chunk_step(carry, inp):
-            m_prev, U_prev = carry
-            A_c, Qs_c, H_c, Rs_c, y_c, mask_c = inp
-            elems = _build_sqrt_elements(
-                A_c, Qs_c, H_c, Rs_c, y_c, mask_c, m_prev, U_prev
+        return f
+
+    def s_fs(sqrt):
+        def f(mm):
+            ssm = ssm_of(mm)
+            fr, sr = run_filter_smoother(
+                ssm, mm.sites.V, mm.sites.Y, parallel=True, sqrt=sqrt,
+                chunk_size=mm.chunk_size,
             )
-            if with_scan:
-                dd, dt = elems.A.shape[-1], elems.A.dtype
-                inner = _inner_scan(
-                    _sqrt_filtering_operator, elems,
-                    ident=_SqrtFilterElems(
-                        A=jnp.eye(dd, dtype=dt), b=jnp.zeros((dd,), dt),
-                        U=jnp.zeros((dd, dd), dt), eta=jnp.zeros((dd,), dt),
-                        Z=jnp.zeros((dd, dd), dt)),
-                )
-                return (inner.b[-1], inner.U[-1]), (
-                    inner.b.sum() + inner.U.sum())
-            return (m_prev + elems.b[-1], U_prev + elems.U[-1]), (
-                elems.A.sum() + elems.b.sum() + elems.U.sum()
-                + elems.eta.sum() + elems.Z.sum())
+            return fold(mm, fr.lml + jnp.sum(sr.ms[-1]))
 
-        init = (ssm.m0, P0_sqrt)
-        (_, _), acc = jax.lax.scan(chunk_step, init, parts)
-        return acc.sum()
+        return f
 
-    def p_build(mm, c):
-        return chunked_parts(_chain_model(mm, c), with_scan=False)
+    def s_step(mm):
+        return mm.step_with_elbo(0.5)[0]
 
-    def p_scan(mm, c):
-        return chunked_parts(_chain_model(mm, c), with_scan=True)
+    def s_build_cov(mm):
+        from physs_gp_tpu.ops.parallel_kalman import _build_filter_elements
+        from physs_gp_tpu.ops.kalman import observation_mask
 
-    def p_lml_only(mm, c):
-        ssm, R, Y = inputs(_chain_model(mm, c))
-        T = Y.shape[0]
-        Q_sqrt = safe_cholesky_rel(ssm.Q)
-        R_sqrt = safe_cholesky_rel(R)
-        P0_sqrt = safe_cholesky_rel(ssm.P0)
-        mask = observation_mask(Y, P0_sqrt.dtype)
-        H = ssm.H if ssm.H.ndim == 3 else jnp.broadcast_to(
-            ssm.H, (T,) + ssm.H.shape)
-        ms = jnp.zeros((T, ssm.m0.shape[-1]), Y.dtype) + 0.01
-        Us = jnp.broadcast_to(P0_sqrt, (T,) + P0_sqrt.shape) * (1 + 0 * c)
-        lmls = _per_step_lml_sqrt(
-            ssm.A, Q_sqrt, H, R_sqrt, Y, mask, ms, ssm.m0, P0_sqrt, Us)
-        return lmls.sum()
+        ssm = ssm_of(mm)
+        Y = mm.sites.Y
+        mask = observation_mask(Y, ssm.P0.dtype)
+        Ht = jnp.broadcast_to(ssm.H, (T,) + ssm.H.shape[-2:])
+        e = _build_filter_elements(
+            jnp.broadcast_to(ssm.A, (T,) + ssm.A.shape[-2:]) if ssm.A.ndim == 2 else ssm.A,
+            jnp.broadcast_to(ssm.Q, (T,) + ssm.Q.shape[-2:]) if ssm.Q.ndim == 2 else ssm.Q,
+            Ht, mm.sites.V, Y, mask, ssm.m0, ssm.P0,
+        )
+        return fold(mm, jnp.sum(e.b[-1]) + jnp.sum(e.C[-1]))
 
-    for name, fn in [("build", p_build), ("build+scan", p_scan),
-                     ("lml", p_lml_only)]:
-        t = time_probe(fn, m, 3)
-        print(f"{name:10s} {t*1e3:9.2f} ms", flush=True)
+    def s_lml_cov(mm):
+        from physs_gp_tpu.ops.parallel_kalman import _per_step_lml
+        from physs_gp_tpu.ops.kalman import observation_mask
+
+        ssm = ssm_of(mm)
+        Y = mm.sites.Y
+        mask = observation_mask(Y, ssm.P0.dtype)
+        Ht = jnp.broadcast_to(ssm.H, (T,) + ssm.H.shape[-2:])
+        # ms stand-in: the site means (same shapes/layout as filtered means)
+        ms = jnp.einsum("tpd,tp->td", Ht, jnp.nan_to_num(Y))
+        Ps = jnp.broadcast_to(ssm.P0, (T,) + ssm.P0.shape)
+        lmls, Pp = _per_step_lml(
+            ssm.A, ssm.Q, Ht, mm.sites.V, Y, mask, ms, ssm.m0, ssm.P0, Ps
+        )
+        return fold(mm, jnp.sum(lmls) + jnp.sum(Pp[-1]))
+
+    ms_sqrt = replace(m, sqrt=True)
+    for name, fn, mdl in [
+        ("cov  elements only", s_build_cov, m),
+        ("cov  per-step lml ", s_lml_cov, m),
+        ("cov  filter       ", s_filter(False), m),
+        ("sqrt filter       ", s_filter(True), m),
+        ("cov  filter+smooth", s_fs(False), m),
+        ("sqrt filter+smooth", s_fs(True), m),
+        ("cov  full step    ", s_step, m),
+        ("sqrt full step    ", s_step, ms_sqrt),
+    ]:
+        dt = chain_time(loop(fn), mdl)
+        print(f"{name}: {dt * 1e3:8.1f} ms  ({T / dt / 1e3:7.1f} k steps/s)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -244,3 +244,23 @@ def test_vb_ng_adam_scan_trains():
     )(m)
     assert float(elbos[-1]) > float(elbos[0])
     assert abs(float(m2.kernel.lengthscales.value) - ls0) > 1e-4
+
+
+def test_adam_scan_matches_adam_trainer():
+    """In-graph adam_scan == AdamTrainer's host loop (same opt, same lr)."""
+    from physs_gp_tpu.trainers import AdamTrainer, adam_scan
+
+    m = _model(seed=5, T=60)
+    m_scan, losses_scan = jax.jit(
+        lambda mm: adam_scan(mm, n_steps=5, lr=1e-2)
+    )(m)
+    tr = AdamTrainer(m, lr=1e-2)
+    m_host, losses_host = tr.train(m, 5)
+    np.testing.assert_allclose(
+        np.asarray(losses_scan), losses_host, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_scan.likelihood.variance.value),
+        float(m_host.likelihood.variance.value), rtol=1e-6,
+    )
+    assert float(losses_scan[-1]) < float(losses_scan[0])
