@@ -163,40 +163,50 @@ def _broadcast_batch(e1, e2):
     )
 
 
-def _sqrt_filtering_moments(e1, e2, G=None, Xi=None):
-    """Shared core of the sqrt filtering combine: the Woodbury factors and
-    the moment outputs (b, U), plus the intermediates (G, Xi, W1, XiG,
-    A2W1) the full operator's A/eta/Z outputs build on — ONE implementation
-    so the reduced distribute combine cannot desynchronize from the scan
-    operator. Inputs must already be batch-broadcast. `G`/`Xi` optionally
-    inject precomputed factors (the full operator builds Xi jointly with its
-    Lam twin in one batched LQ)."""
+def _sqrt_filtering_moments(e1, e2, G=None, W1=None, XiG=None):
+    """Shared core of the sqrt filtering combine: the moment outputs (b, U)
+    plus the A2W1 intermediate the full operator's A output builds on — ONE
+    implementation so the reduced distribute combine cannot desynchronize
+    from the scan operator. Inputs must already be batch-broadcast.
+
+    `W1`/`XiG` optionally inject the full operator's precomputed Woodbury
+    solves (it batches them with the Lam-side solves in one launch). When
+    absent (the distribute-stage reduced combine), the solve runs NARROW:
+    the moments need the full W1 = U1 Xi^-T but only the VECTOR
+    Gz = Xi^-1 G (Z2^T u) — d+1 right-hand-side columns instead of the full
+    operator's 2d (the distribute pass runs at full chunk width, so the
+    saved columns are the whole chunk wide)."""
     d = e1.A.shape[-1]
     dtype = e1.A.dtype
     if G is None:
         G = bmm(e1.U, e2.Z, ta=True)  # U1^T Z2 [d, d]
-    if Xi is None:
+    # u = b1 + U1 U1^T eta2;  Z2^T u feeds the b-correction on both paths
+    u = e1.b + jnp.einsum("...ij,...kj,...k->...i", e1.U, e1.U, e2.eta)
+    Z2tu = jnp.einsum("...kj,...k->...j", e2.Z, u)
+    if W1 is None:
         eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
         # info-side Woodbury factors stay on the LQ (chol-of-Gram cannot
         # resolve ||G||^2 > 1/eps spreads — see ops/pallas/batched_chol.py);
         # [G, I] has full row rank, so the regularisation block is skipped
         Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
-    # ONE batched solve against Xi for both right-hand sides:
-    #   W1 = U1 Xi^-T (right-solve via the transposed RHS), XiG = Xi^-1 G
-    sol = _solve_tri(
-        Xi, jnp.concatenate([jnp.swapaxes(e1.U, -1, -2), G], axis=-1)
-    )
-    W1 = jnp.swapaxes(sol[..., :d], -1, -2)
-    XiG = sol[..., d:]
+        vec = jnp.einsum("...ij,...j->...i", G, Z2tu)  # G Z2^T u
+        sol = _solve_tri(
+            Xi,
+            jnp.concatenate(
+                [jnp.swapaxes(e1.U, -1, -2), vec[..., None]], axis=-1
+            ),
+        )
+        W1 = jnp.swapaxes(sol[..., :d], -1, -2)
+        Gz = sol[..., d]  # Xi^-1 G Z2^T u
+    else:
+        Gz = jnp.einsum("...ij,...j->...i", XiG, Z2tu)
     A2W1 = bmm(e2.A, W1)
-    # b = b2 + A2 (u - W1 Xi^-1 G Z2^T u),  u = b1 + U1 U1^T eta2
-    u = e1.b + jnp.einsum("...ij,...kj,...k->...i", e1.U, e1.U, e2.eta)
-    Gz = jnp.einsum("...ij,...kj,...k->...i", XiG, e2.Z, u)  # Xi^-1 G Z2^T u
+    # b = b2 + A2 (u - W1 Xi^-1 G Z2^T u)
     b = e2.b + jnp.einsum(
         "...ij,...j->...i", e2.A, u - jnp.einsum("...ij,...j->...i", W1, Gz)
     )
     U = tria_sum(A2W1, e2.U)
-    return G, Xi, W1, XiG, A2W1, b, U
+    return A2W1, b, U
 
 
 def _sqrt_filtering_operator(e1, e2):
@@ -204,18 +214,30 @@ def _sqrt_filtering_operator(e1, e2):
 
     Launch-count discipline (the sqrt-path tax is per-kernel overhead at
     lane-batched shapes, not FLOPs): the Xi/Lam Woodbury twins are ONE LQ
-    call on the batch-stacked pre-arrays, and each factor's triangular
-    solves take all right-hand sides in ONE pass (W1+XiG against Xi,
-    V2+corr against Lam)."""
+    call on the batch-stacked pre-arrays, and ALL FOUR triangular solves
+    (W1+XiG against Xi, V2+lg against Lam) ride the same batch stack in ONE
+    launch — every right-hand side depends only on combine inputs, so
+    nothing forces the two factors' solves apart. The Lam-side RHS is
+    zero-padded from d+1 to the Xi-side's 2d columns (dead columns through
+    the lane-batched Gauss-Jordan are cheaper than a second launch)."""
     e1, e2 = _broadcast_batch(e1, e2)
     d = e1.A.shape[-1]
     dtype = e1.A.dtype
     eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), e1.A.shape)
     G = bmm(e1.U, e2.Z, ta=True)  # U1^T Z2 [d, d]
     Gt = jnp.swapaxes(G, -1, -2)
+    # eta-path pre-solve quantities (input-only):
+    # w = eta2 - Z2 Z2^T b1, then G^T U1^T w
+    w = e2.eta - jnp.einsum("...ij,...kj,...k->...i", e2.Z, e2.Z, e1.b)
+    GtU1tw = jnp.einsum("...ji,...kj,...k->...i", G, e1.U, w)  # G^T U1^T w
+    rhs_xi = jnp.concatenate([jnp.swapaxes(e1.U, -1, -2), G], axis=-1)
+    rhs_lam = jnp.concatenate(
+        [jnp.swapaxes(e2.Z, -1, -2), GtU1tw[..., None]], axis=-1
+    )
     if G.ndim >= 3:
         # Xi = tria([G, I]) and Lam = tria([G^T, I]) in one batched LQ —
-        # stacked along the batch axis, so one kernel launch serves both
+        # stacked along the batch axis, so one kernel launch serves both;
+        # their solves stack the same way into one Gauss-Jordan launch
         nb = G.shape[-3]
         pre = jnp.concatenate(
             [
@@ -225,30 +247,29 @@ def _sqrt_filtering_operator(e1, e2):
             axis=-3,
         )
         XiLam = tria(pre, assume_full_rank=True)
-        Xi = XiLam[..., :nb, :, :]
-        Lam = XiLam[..., nb:, :, :]
+        pad = jnp.zeros(rhs_lam.shape[:-1] + (d - 1,), dtype)
+        sol = _solve_tri(
+            XiLam,
+            jnp.concatenate(
+                [rhs_xi, jnp.concatenate([rhs_lam, pad], axis=-1)], axis=-3
+            ),
+        )
+        sol_xi = sol[..., :nb, :, :]
+        sol_lam = sol[..., nb:, :, :]
     else:
         Xi = tria(jnp.concatenate([G, eye], axis=-1), assume_full_rank=True)
         Lam = tria(jnp.concatenate([Gt, eye], axis=-1), assume_full_rank=True)
-    _, _, W1, XiG, A2W1, b, U = _sqrt_filtering_moments(e1, e2, G=G, Xi=Xi)
+        sol_xi = _solve_tri(Xi, rhs_xi)
+        sol_lam = _solve_tri(Lam, rhs_lam)
+    W1 = jnp.swapaxes(sol_xi[..., :d], -1, -2)  # U1 Xi^-T
+    XiG = sol_xi[..., d:]  # Xi^-1 G
+    V2t = sol_lam[..., :d]  # Lam^-1 Z2^T  (V2 = Z2 Lam^-T = V2t^T)
+    lg = sol_lam[..., d]  # Lam^-1 G^T U1^T w
+    A2W1, b, U = _sqrt_filtering_moments(e1, e2, G=G, W1=W1, XiG=XiG)
 
     # A = A2 A1 - (A2 W1) (Xi^-1 G) (Z2^T A1)
     Z2tA1 = bmm(e2.Z, e1.A, ta=True)
     A = bmm(e2.A, e1.A) - bmm(bmm(A2W1, XiG), Z2tA1)
-
-    # eta = eta1 + A1^T (w - Z2 Lam^-T Lam^-1 G^T U1^T w), w = eta2 - Z2 Z2^T b1
-    w = e2.eta - jnp.einsum("...ij,...kj,...k->...i", e2.Z, e2.Z, e1.b)
-    GtU1tw = jnp.einsum("...ji,...kj,...k->...i", G, e1.U, w)  # G^T U1^T w
-    # ONE solve against Lam for both RHS: V2^T = Lam^-1 Z2^T and
-    # lg = Lam^-1 G^T U1^T w
-    sol = _solve_tri(
-        Lam,
-        jnp.concatenate(
-            [jnp.swapaxes(e2.Z, -1, -2), GtU1tw[..., None]], axis=-1
-        ),
-    )
-    V2t = sol[..., :d]  # Lam^-1 Z2^T  (V2 = Z2 Lam^-T = V2t^T)
-    lg = sol[..., d]
     corr = jnp.einsum("...ji,...j->...i", V2t, lg)
     eta = e1.eta + jnp.einsum("...ji,...j->...i", e1.A, w - corr)
 

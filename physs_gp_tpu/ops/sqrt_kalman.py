@@ -36,23 +36,31 @@ _LOG2PI = math.log(2.0 * math.pi)
 def tria(B: jnp.ndarray, assume_full_rank: bool = False) -> jnp.ndarray:
     """Lower-triangular L [.., d, d] with L L^T ≈ B B^T, B [.., d, m].
 
-    A tiny RELATIVE identity block is appended before the QR: rank-deficient
-    pre-arrays (padded factors, exactly-zero elements) otherwise give NaN in
-    the QR gradient (it solves against R's diagonal). The perturbation adds
-    O(eps^2) = 1e-12 relative to the reconstructed covariance — far below
-    fp32 resolution — and makes every tria differentiable.
+    Rank-deficient pre-arrays (padded factors, exactly-zero elements) give
+    NaN in the QR *gradient* (it solves against R's diagonal), so the
+    BACKWARD pass recomputes through a pre-array with a tiny RELATIVE
+    identity block appended (`_tria_core_gradreg`). The forward pass runs
+    the plain LQ on B itself — the Householder kernel is exact for any rank
+    (zero tails take an identity reflector) — so the hot path never pays
+    the d extra regularisation columns, and the forward/backward values
+    differ by O(eps^2) = 1e-12 relative, far below fp32 resolution.
 
-    `assume_full_rank=True` skips the regularisation block and the
-    exact-zero bypass — for pre-arrays with a guaranteed full-row-rank
-    block (e.g. [G, I] Woodbury factors, [HU, R^1/2] with positive noise):
-    one third less LQ work at the combine's hot shapes, still
-    differentiable (QR of a full-row-rank matrix is smooth).
+    `assume_full_rank=True` additionally skips the exact-zero bypass and
+    the gradient regularisation — for pre-arrays with a guaranteed
+    full-row-rank block (e.g. [G, I] Woodbury factors, [HU, R^1/2] with
+    positive noise), where the plain QR gradient is already smooth.
     """
     if assume_full_rank:
         return _tria_core(B)
     d, m = B.shape[-2], B.shape[-1]
+    if m < d:
+        # the QR needs >= d columns to emit a [d, d] factor; zero columns
+        # change nothing (L L^T = B B^T exactly)
+        B = jnp.concatenate(
+            [B, jnp.zeros(B.shape[:-1] + (d - m,), B.dtype)], axis=-1
+        )
+        m = d
     fp32 = jnp.dtype(B.dtype).itemsize < 8
-    eps = 1e-6 if fp32 else 1e-9
     # floor INSIDE the sqrt: d(sqrt)/dB is infinite at B = 0 otherwise.
     # The floor must not underflow in the working dtype (1e-60 -> 0 in fp32
     # silently reintroduces the NaN gradient).
@@ -62,22 +70,12 @@ def tria(B: jnp.ndarray, assume_full_rank: bool = False) -> jnp.ndarray:
     # exact zeros through combines): bypass the QR entirely — its gradient
     # is NaN for rank-0 input regardless of regularisation (double-where).
     is_zero = scale <= 2.0 * jnp.sqrt(jnp.asarray(floor, B.dtype))
-    reg = eps * scale * jnp.broadcast_to(
-        jnp.eye(d, dtype=B.dtype), B.shape[:-1] + (d,)
-    )
-    B_reg = jnp.concatenate([B, reg], axis=-1)
     B_safe = jnp.where(
         is_zero,
-        jnp.broadcast_to(
-            jnp.concatenate(
-                [jnp.eye(d, dtype=B.dtype), jnp.zeros((d, m), B.dtype)],
-                axis=-1,
-            ),
-            B_reg.shape,
-        ),
-        B_reg,
+        jnp.broadcast_to(jnp.eye(d, m, dtype=B.dtype), B.shape),
+        B,
     )
-    return jnp.where(is_zero, 0.0, _tria_core(B_safe))
+    return jnp.where(is_zero, 0.0, _tria_core_gradreg(B_safe))
 
 
 def _tria_canonical_xla(B_safe):
@@ -117,6 +115,45 @@ def _tria_core_bwd(B_safe, ct):
 
 
 _tria_core.defvjp(_tria_core_fwd, _tria_core_bwd)
+
+
+@jax.custom_vjp
+def _tria_core_gradreg(B_safe):
+    """LQ with the gradient taken through the REGULARISED pre-array.
+
+    Forward: plain (Pallas-routed) LQ of B_safe — no reg columns, so the
+    hot combine trias run at m instead of m + d. Backward: recompute the
+    VJP through the XLA QR of [B, eps·scale(B)·I], exactly the composition
+    the forward used to evaluate before round 4 — bounded gradients for
+    (near-)rank-deficient pre-arrays, O(eps²) inconsistency with the
+    forward value (below fp32 resolution)."""
+    return _tria_core_primal(B_safe)
+
+
+def _tria_core_gradreg_fwd(B_safe):
+    return _tria_core_primal(B_safe), B_safe
+
+
+def _tria_core_gradreg_bwd(B_safe, ct):
+    d = B_safe.shape[-2]
+    fp32 = jnp.dtype(B_safe.dtype).itemsize < 8
+    eps = 1e-6 if fp32 else 1e-9
+    floor = 1e-24 if fp32 else 1e-60
+
+    def reg_tria(b):
+        scale = jnp.sqrt(
+            jnp.sum(b * b, axis=(-1, -2), keepdims=True) / d + floor
+        )
+        reg = eps * scale * jnp.broadcast_to(
+            jnp.eye(d, dtype=b.dtype), b.shape[:-1] + (d,)
+        )
+        return _tria_canonical_xla(jnp.concatenate([b, reg], axis=-1))
+
+    _, vjp = jax.vjp(reg_tria, B_safe)
+    return vjp(ct)
+
+
+_tria_core_gradreg.defvjp(_tria_core_gradreg_fwd, _tria_core_gradreg_bwd)
 
 
 def _eye_like(X: jnp.ndarray) -> jnp.ndarray:
