@@ -40,6 +40,15 @@ class BatchGP:
     kernel: object
     likelihood: object
     mean: object = None  # optional Mean (or list per output; means/mean.py)
+    # solver="cg" replaces the Cholesky factorization with matrix-free
+    # iterative inference (ops/cg.py: Jacobi-PCG solves + SLQ logdet) — the
+    # reference's settings.linear_solver=CG mode (`computation/linalg.py:34`)
+    # as a static per-model choice. Use for Grams too large to factor; the
+    # lml's logdet becomes a deterministic-given-seed unbiased estimate.
+    solver: str = static(default="cholesky")
+    cg_tol: float = static(default=1e-6)
+    slq_probes: int = static(default=32)
+    slq_iters: int = static(default=48)
 
     @property
     def n_outputs(self) -> int:
@@ -63,7 +72,7 @@ class BatchGP:
             return jnp.tile(v, N)
         return jnp.broadcast_to(self.likelihood.variance.value, (N * P,))
 
-    def _masked_chol(self):
+    def _masked_gram(self):
         N = self.X.shape[0]
         mu = self._mu(self.X)
         Yc = self.Y if mu is None else self.Y - mu
@@ -72,12 +81,30 @@ class BatchGP:
         K = self.kernel.K(self.X, self.X)
         Ky = K + jnp.diag(self._noise_diag(N))
         Km = mask_covariance(Ky, mask)
-        L = safe_cholesky(Km)
         y0 = jnp.where(mask > 0, jnp.nan_to_num(yf), 0.0)
-        return L, y0, mask
+        return Km, y0, mask
+
+    def _masked_chol(self):
+        Km, y0, mask = self._masked_gram()
+        return safe_cholesky(Km), y0, mask
 
     @highest_precision
     def log_marginal_likelihood(self) -> jnp.ndarray:
+        if self.solver == "cg":
+            from ..ops.cg import cg_solve, slq_logdet
+
+            Km, y0, mask = self._masked_gram()
+            alpha = cg_solve(Km, y0, tol=self.cg_tol)
+            # fixed key: the lml is a deterministic function of the params
+            # (unbiased over keys; masked unit-diagonal rows contribute 0)
+            ld = slq_logdet(
+                Km,
+                jax.random.PRNGKey(0),
+                n_probes=self.slq_probes,
+                lanczos_iters=self.slq_iters,
+            )
+            n_obs = jnp.sum(mask)
+            return -0.5 * (jnp.sum(y0 * alpha) + ld + n_obs * _LOG2PI)
         L, y0, mask = self._masked_chol()
         alpha = solve_lower(L, y0[:, None])[:, 0]
         n_obs = jnp.sum(mask)
@@ -93,9 +120,11 @@ class BatchGP:
         """Posterior q(f*) at new inputs: [Ns, P] moments (data-major)."""
         from ..utils.shapes import as_points
 
-        L, y0, mask = self._masked_chol()
         Xs = as_points(Xs, D=self.X.shape[-1] if self.X.ndim > 1 else 1)
         P = self.n_outputs
+        if self.solver == "cg":
+            return self._predict_f_cg(Xs, full_cov)
+        L, y0, mask = self._masked_chol()
         Kxs = self.kernel.K(self.X, Xs)  # [N*P, Ns*P]
         Kxs = Kxs * mask[:, None]  # zero rows for missing entries
         A = solve_lower(L, Kxs)  # [N*P, Ns*P]
@@ -109,6 +138,31 @@ class BatchGP:
             return (mean if mu_s is None else mean + mu_s), cov
         kd = self.kernel.K_diag(Xs)
         var = kd - jnp.sum(A * A, axis=0)
+        mean = mean.reshape(-1, P)
+        if mu_s is not None:
+            mean = mean + mu_s
+        return GaussianMoments(mean=mean, var=var.reshape(-1, P))
+
+    def _predict_f_cg(self, Xs, full_cov: bool):
+        """Matrix-free posterior: ONE multi-RHS PCG solve for [y0 | Kxs]
+        (all Ns*P + 1 columns ride the same batched matvec matmuls)."""
+        from ..ops.cg import cg_solve
+
+        Km, y0, mask = self._masked_gram()
+        P = self.n_outputs
+        Kxs = self.kernel.K(self.X, Xs) * mask[:, None]  # [N*P, Ns*P]
+        W = cg_solve(
+            Km, jnp.concatenate([y0[:, None], Kxs], axis=1), tol=self.cg_tol
+        )
+        mean = Kxs.T @ W[:, 0]
+        mu_s = self._mu(Xs)
+        if full_cov:
+            Kss = self.kernel.K(Xs, Xs)
+            cov = Kss - Kxs.T @ W[:, 1:]
+            mean = mean.reshape(-1, P)
+            return (mean if mu_s is None else mean + mu_s), cov
+        kd = self.kernel.K_diag(Xs)
+        var = kd - jnp.sum(Kxs * W[:, 1:], axis=0)
         mean = mean.reshape(-1, P)
         if mu_s is not None:
             mean = mean + mu_s

@@ -1,1 +1,1 @@
-from . import ekf, gaussian, kalman, lgssm, matrix, parallel_kalman, parallel_sqrt_kalman, quadrature, runner, sqrt_kalman
+from . import cg, ekf, gaussian, kalman, lgssm, matrix, parallel_kalman, parallel_sqrt_kalman, quadrature, runner, sqrt_kalman
