@@ -8,3 +8,4 @@ from .gprn import GPRN
 from .wrappers import LatentPredictor, MultiObjectiveModel
 from .lvgp import LatentVariableGP
 from .streaming import StreamingGP, StreamingCVI, StreamState, SegmentResult
+from .vecchia import VecchiaGP
