@@ -153,11 +153,11 @@ _LAST_TPU_RESULT = {
               "ST PDE, state dim 32, 32 heads, parallel-scan "
               "KF+RTS+ELBO+natgrad, TPU fp32, measured as an on-device "
               "lax.scan training loop)",
-    "value": 286178.9,
+    "value": 287345.5,
     "unit": "steps/sec",
-    "vs_baseline": 87.46,
-    "temporal_steps_per_sec": 28445495.2,
-    "temporal_vs_baseline": 123.67,
+    "vs_baseline": 63.5,
+    "temporal_steps_per_sec": 30123943.8,
+    "temporal_vs_baseline": 87.71,
 }
 
 _PROBE = ("import jax; d = jax.devices(); import jax.numpy as jnp; "
@@ -197,7 +197,7 @@ def main():
             "note": "TPU relay unreachable at bench time (3 backend-init "
                     "probes timed out over ~30 min); values are from the "
                     "last successful on-TPU run of this script "
-                    "(round 3, 2026-08-17).",
+                    "(round 4, 2026-08-19).",
         }))
         return
 
