@@ -67,6 +67,20 @@ K5, KT = 3, 25
 # ~6 bf16 passes per fp32 matmul -> ~32.8 TFLOP/s effective fp32 roofline.
 PEAK_BF16_FLOPS = 197e12
 PEAK_FP32_FLOPS = PEAK_BF16_FLOPS / 6.0
+# v5e per-chip HBM bandwidth ceiling (819 GB/s)
+PEAK_HBM_BYTES_PER_SEC = 819e9
+
+# Pinned CPU-fp64 sequential baseline (steps/s), so `vs_baseline_pinned` has
+# a stable denominator: the re-measured baseline runs on the SHARED 1-core
+# host and swings with load (observed 63x-88x multipliers at constant TPU
+# steps/s). These are the FASTEST baselines observed across rounds 3-4
+# (2026-08-19, idle host) — i.e. the most conservative multiplier. The live
+# re-measured baseline is still recorded alongside (baseline_steps_per_sec).
+PINNED_BASELINE = {
+    "c5_steps_per_sec": 4525.0,        # 287345.5 / 63.5 (round-4 idle run)
+    "temporal_steps_per_sec": 343450.0,  # 30123943.8 / 87.71
+    "pinned_at": "2026-08-19",
+}
 
 _CPU_SCRIPT = r"""
 import sys, time, json
@@ -118,23 +132,33 @@ def _time_steps(step, m, n):
 
 
 def _compile_with_cost(fn, m):
-    """jit-compile fn(m); return (callable, flops_per_call or None)."""
+    """jit-compile fn(m); return (callable, flops_per_call, bytes_per_call).
+
+    Both counts come from XLA's post-optimization cost analysis of the
+    compiled executable, so fusion is already accounted: "bytes accessed" is
+    the operand+output traffic of the fused kernels — the standard HBM-side
+    estimate (an upper bound where buffers stay resident in VMEM).
+    """
     import jax
 
     jitted = jax.jit(fn)
-    flops = None
+    flops = nbytes = None
     try:
         compiled = jitted.lower(m).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        f = (ca or {}).get("flops")
+        ca = ca or {}
+        f = ca.get("flops")
         if f and np.isfinite(f) and f > 0:
             flops = float(f)
-        return compiled, flops
+        b = ca.get("bytes accessed")
+        if b and np.isfinite(b) and b > 0:
+            nbytes = float(b)
+        return compiled, flops, nbytes
     except Exception:
         # cost analysis / AOT path unavailable: fall back to the plain jit
-        return jitted, None
+        return jitted, None, None
 
 
 def _scan_step_fn(K):
@@ -205,8 +229,9 @@ def main():
 
     # --- TPU config-5 north star (K5 steps per dispatch, see note above) ---
     m5 = build_config5(T5, CHUNK)
-    step5, flops5 = _compile_with_cost(_scan_step_fn(K5), m5)
+    step5, flops5, bytes5 = _compile_with_cost(_scan_step_fn(K5), m5)
     flops5 = flops5 / K5 if flops5 else None
+    bytes5 = bytes5 / K5 if bytes5 else None
     REPEATS, N_STEPS = 3, 2
     runs5 = [
         K5 * T5 / _time_steps(step5, m5, N_STEPS) for _ in range(REPEATS)
@@ -216,8 +241,9 @@ def main():
     # --- TPU temporal workload (round-1 metric, kept) ---
     os.environ["PHYSS_SCAN_BLOCKS"] = BLOCKS_T  # trace-time knob (d=2 knee)
     mt = build_temporal(T5, CHUNK_T)
-    stept, flops_t = _compile_with_cost(_scan_step_fn(KT), mt)
+    stept, flops_t, bytes_t = _compile_with_cost(_scan_step_fn(KT), mt)
     flops_t = flops_t / KT if flops_t else None
+    bytes_t = bytes_t / KT if bytes_t else None
     runs_t = [
         KT * T5 / _time_steps(stept, mt, N_STEPS) for _ in range(REPEATS)
     ]
@@ -243,6 +269,20 @@ def main():
         "temporal_vs_baseline": round(
             t_sps / cpu["temporal_steps_per_sec"], 2
         ),
+        # raw denominators (shared-host CPU fp64, re-measured this run) +
+        # the pinned idle-host baseline so the multiplier has a stable,
+        # conservative denominator (VERDICT r4 weak #5)
+        "baseline_steps_per_sec": round(cpu["c5_steps_per_sec"], 1),
+        "temporal_baseline_steps_per_sec": round(
+            cpu["temporal_steps_per_sec"], 1
+        ),
+        "baseline_pinned": PINNED_BASELINE,
+        "vs_baseline_pinned": round(
+            c5_sps / PINNED_BASELINE["c5_steps_per_sec"], 2
+        ),
+        "temporal_vs_baseline_pinned": round(
+            t_sps / PINNED_BASELINE["temporal_steps_per_sec"], 2
+        ),
         "stale": False,
         "measured_at": datetime.datetime.now(datetime.timezone.utc)
         .strftime("%Y-%m-%dT%H:%M:%SZ"),
@@ -259,11 +299,24 @@ def main():
         result["achieved_flops"] = round(achieved, 1)
         result["mfu_bf16_peak"] = round(achieved / PEAK_BF16_FLOPS, 6)
         result["mfu_fp32_roofline"] = round(achieved / PEAK_FP32_FLOPS, 6)
+    if bytes5:
+        ab = bytes5 * c5_sps / T5  # bytes per whole-step / step wall time
+        result["bytes_per_step"] = bytes5
+        result["achieved_bytes_per_sec"] = round(ab, 1)
+        result["hbm_roofline_fraction"] = round(
+            ab / PEAK_HBM_BYTES_PER_SEC, 6
+        )
     if flops_t:
         achieved_t = flops_t * t_sps / T5
         result["temporal_achieved_flops"] = round(achieved_t, 1)
         result["temporal_mfu_fp32_roofline"] = round(
             achieved_t / PEAK_FP32_FLOPS, 6
+        )
+    if bytes_t:
+        ab_t = bytes_t * t_sps / T5
+        result["temporal_achieved_bytes_per_sec"] = round(ab_t, 1)
+        result["temporal_hbm_roofline_fraction"] = round(
+            ab_t / PEAK_HBM_BYTES_PER_SEC, 6
         )
     print(json.dumps(result))
 

@@ -22,6 +22,7 @@ from physs_gp_tpu.kernels import Matern32
 from physs_gp_tpu.kernels.rbf import RBF
 from physs_gp_tpu.utils.params import positive_param
 from physs_gp_tpu.zoo import scattered_st_gp
+from physs_gp_tpu.zoo.spatio_temporal import scattered_st_predict
 
 
 def _field(t, s):
@@ -64,14 +65,30 @@ def main():
     var_rows = data.unsort(np.asarray(post.var))[:, 0]
     truth_train = _field(train_rows[:, 0], train_rows[:, 1:3])
 
+    # held-out rows: posterior at NEVER-SEEN (t, x, y) via the scattered
+    # NaN-augmentation path (ref procedure: held-out metrics,
+    # `experiments/ac/models/m_pigp.py:237-252`); scored against the NOISY
+    # held-out observations (the reference scores y_test, not the latent)
+    # and against the noise-free field for reference.
+    p_test = scattered_st_predict(m, data, test_rows[:, :3])
+    mean_test = np.asarray(p_test.mean)[:, 0]
+    var_test = np.asarray(p_test.var)[:, 0]
+    truth_test = _field(test_rows[:, 0], test_rows[:, 1:3])
+    y_test = test_rows[:, 3]
+
     results = {
-        "config": {"quick": args.quick, "n_rows": int(A.shape[0])},
+        "config": {"quick": args.quick, "n_rows": int(A.shape[0]),
+                   "n_test_rows": int(test_rows.shape[0])},
         "metrics": {
             "lml": lml,
             "rmse_train_rows": rmse(mean_rows, truth_train),
             # observation-space density: latent var + observation noise
             "nlpd_train_rows": float(gaussian_nlpd(
                 truth_train, mean_rows, var_rows + noise ** 2)),
+            "rmse_test": rmse(mean_test, y_test),
+            "nlpd_test": float(gaussian_nlpd(
+                y_test, mean_test, var_test + noise ** 2)),
+            "rmse_test_vs_truth": rmse(mean_test, truth_test),
         },
         "meta": {"training_time": tm.seconds},
     }

@@ -91,13 +91,20 @@ def monotonic_cvi_gp(
     dtype=jnp.float64,
     parallel: bool = False,
     chunk_size=None,
+    constrained: bool = True,
 ) -> CVIGP:
     """Monotonic GP: data head + Probit head on f' >= 0 at collocation points
-    (ref: `experiments/monotonic_timeseries/models/m_stgp.py:122-160`)."""
+    (ref: `experiments/monotonic_timeseries/models/m_stgp.py:122-160`).
+
+    `constrained=False` keeps the identical model structure (both heads, same
+    time grid) but masks every probit pseudo-observation to NaN — the
+    like-for-like unconstrained baseline whose derivative head can still be
+    read out for violation-rate metrics.
+    """
     kernel = kernel or Matern72(lengthscale=1.0, variance=1.0)
-    t_all, Y = merge_time_grids(
-        (t_data, y_data), (t_coll, np.ones(np.asarray(t_coll).size))
-    )
+    n_coll = np.asarray(t_coll).size
+    probit_obs = np.ones(n_coll) if constrained else np.full(n_coll, np.nan)
+    t_all, Y = merge_time_grids((t_data, y_data), (t_coll, probit_obs))
     obs = StateObservation(heads=[ValueHead(), DerivativeHead(order=1)])
     lik = CompositeLikelihood(
         heads=[Gaussian(variance=_param(noise)), Probit(nu=probit_nu)]
