@@ -74,10 +74,23 @@ class SpatioTemporalKernel(Kernel):
     def Kzz(self) -> jnp.ndarray:
         """Spatial gram with RELATIVE jitter: dense grids under smooth RBF
         kernels are near-singular, and the lifted P0 = Kzz ⊗ Pinf_t inherits
-        the conditioning — in fp32 this NaNs the filter without it."""
+        the conditioning — in fp32 this NaNs the filter without it.
+
+        PHYSS_KZZ_JITTER (trace-time env knob) overrides the relative eps
+        (default 100·default_jitter(dtype), i.e. 1e-4 in fp32 / 1e-10 in
+        fp64). This regularisation is a PRIOR change, not roundoff: on the
+        Allen-Cahn workload the fp32 default accounts for 0.21 of the 0.29
+        posterior-mean deviation from the fp64 run (measured by running the
+        fp64 arm with PHYSS_KZZ_JITTER=1e-4 — see experiments/ac.py
+        --compare, `precision_ladder` in results/ac_compare.json). Training
+        at fp32 needs the full default; inference-only passes tolerate down
+        to 1e-6."""
+        import os
+
         K = self.k_space.K(self.sites, self.sites)
         scale = jnp.mean(jnp.diagonal(K))
-        eps = 100.0 * default_jitter(K.dtype)
+        ov = os.environ.get("PHYSS_KZZ_JITTER")
+        eps = float(ov) if ov is not None else 100.0 * default_jitter(K.dtype)
         return K + eps * scale * jnp.eye(K.shape[0], dtype=K.dtype)
 
     def to_lgssm(self, t: jnp.ndarray) -> LGSSM:

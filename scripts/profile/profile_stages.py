@@ -13,6 +13,7 @@ per-stage differences:
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile/profile_stages.py
 """
+import json
 import sys
 import time
 
@@ -112,6 +113,7 @@ def main():
                   f"(+{(dt - prev) * 1e3:7.1f} ms)", flush=True)
             prev = dt
     print("\nstage deltas (sqrt - cov), ms:")
+    table = []
     prev_c = prev_s = 0.0
     for name, _ in stages:
         dc = results[("cov", name)] - prev_c
@@ -120,6 +122,18 @@ def main():
         ratio = ds / dc if dc > 0 else float("inf")
         print(f"  {name:12s} cov {dc * 1e3:7.1f}  sqrt {ds * 1e3:7.1f}  "
               f"x{ratio:4.2f}")
+        table.append({"stage": name, "cov_ms": round(dc * 1e3, 1),
+                      "sqrt_ms": round(ds * 1e3, 1),
+                      "ratio": round(ratio, 2) if dc > 0 else None})
+    out = {"T": T, "chunk": CHUNK, "k_loop": K,
+           "cumulative_ms": {f"{form}:{name}": round(results[(form, name)]
+                                                     * 1e3, 1)
+                             for form in ("cov", "sqrt")
+                             for name, _ in stages},
+           "stage_deltas": table}
+    with open("results/sqrt_stages.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("saved -> results/sqrt_stages.json")
 
 
 if __name__ == "__main__":
