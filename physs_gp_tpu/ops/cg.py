@@ -22,10 +22,18 @@ iterative point). Here instead:
   d logdet = tr(A⁻¹ dA) with the SAME probes and CG solves (unbiased,
   matching the estimator's own noise floor).
 
-When to use: dense SPD systems too large to factor (n ≳ a few thousand —
-spatial Grams of scattered ST data, aggregated-kernel quadrature Grams).
-Below that, `ops.matrix.psd_solve` (Cholesky / Pallas Gauss-Jordan) is
-strictly better; `models.BatchGP(solver="cg")` flips the whole exact-GP
+When to use — MEASURED on one v5e chip (fp32 RBF, in-graph K-loop timing;
+`scripts/profile/bench_cg.py` → `results/cg_crossover.json`,
+docs/PERFORMANCE.md "CG vs Cholesky at design scale"): CG is the
+MEMORY-bound escape hatch, not a one-chip speed lever. It halves peak temp
+memory at every n (0.7/65/513 MB vs 1.2/195/1032 MB at n = 2k/4k/8k) — at
+n = 16384 the Cholesky arm's ~4 GB grad graph crashes the TPU worker while
+CG still fits. For training, Cholesky wins wall-clock at every reachable n
+(its lml is launch-overhead-flat at ~45-60 ms across 2k-8k; CG's gradient
+— implicit-diff backward + per-probe SLQ re-solves — runs 3-7x its own
+forward). CG's forward alone wins below n ≈ 3k (26 vs 50 ms at n = 2048).
+lml agreement vs Cholesky ≤ 1.7e-3 relative at the default (probes=32,
+iters=48) budget. `models.BatchGP(solver="cg")` flips the whole exact-GP
 path onto this module.
 """
 from __future__ import annotations

@@ -379,67 +379,98 @@ def parallel_sqrt_kalman_filter(
     return FilterResult(ms=ms, Ps=Us, lml=jnp.sum(lmls), lmls=lmls, Pp=Up)
 
 
-class _SqrtSmootherElems(NamedTuple):
-    E: jnp.ndarray  # [T, d, d]
-    g: jnp.ndarray  # [T, d]
-    D: jnp.ndarray  # [T, d, d]  L = D D^T
+def _factor_psd(L):
+    """Factor a PSD covariance for downstream PSD projections.
 
+    On the TPU Pallas path: NO added jitter — the lane-batched Cholesky
+    pivot-floors per row at a few ULPs of that row's ORIGINAL diagonal
+    (scale-invariant), so tight-noise variances orders below the global
+    scale survive where `safe_cholesky`'s fp32 absolute 1e-6 jitter would
+    swamp them. XLA fallback (CPU fp64 tests): the tiny per-dtype jitter
+    (1e-12) guards exactly-singular PSD sums (noiseless-Q dynamics) from
+    NaN-ing `jnp.linalg.cholesky`."""
+    from .matrix import _cholesky_any, safe_cholesky, symmetrize
+    from .pallas.batched_chol import use_pallas_chol
 
-def _sqrt_smoothing_operator(ej, ei):
-    """Reverse-scan combine (ej later-suffix, ei earlier): sqrt form."""
-    ej, ei = _broadcast_batch(ej, ei)  # final's internal broadcast: no-op
-    g, D = _sqrt_smoothing_final(ej, ei)
-    E = bmm(ei.E, ej.E)
-    return _SqrtSmootherElems(E=E, g=g, D=D)
-
-
-def _sqrt_smoothing_final(ej, ei):
-    """Distribute-stage combine emitting only (g, D) — E is dead there."""
-    ej, ei = _broadcast_batch(ej, ei)
-    g = jnp.einsum("...ij,...j->...i", ei.E, ej.g) + ei.g
-    D = tria_sum(bmm(ei.E, ej.D), ei.D)
-    return g, D
-
-
-def _project_sqrt_smoother_moments(e: _SqrtSmootherElems):
-    return e.g, e.D
+    if use_pallas_chol(L.shape):
+        return _cholesky_any(symmetrize(L), assume_psd=True)
+    return safe_cholesky(L)
 
 
 def sqrt_smoother_elements(A_next, Qs_next, ms, Us, Pp_sqrt=None):
-    """Joseph-form sqrt smoothing elements (G, g, Y22) at FULL length.
+    """Gram-form Joseph smoothing elements (G, g, L22) at FULL length.
 
     All [p|d]-row lane ops (the historical [[A U, Qs], [U, 0]] 2d-row joint
     pre-array tria falls off the Pallas LQ gate onto XLA's batched QR and
     its [T, 2d, 2d+reg] transpose OOMs HBM at T = 100k):
-      Pp^1/2 = tria_sum(A U, Qs)        chol-of-Gram (covariance-side)
-      G      = P A^T Pp^-1              two triangular solves
-      Y22    = tria_sum((I-GA) U, G Qs) JOSEPH smoother factor, exact:
-               W P W^T + G Q G^T = P - G Pp G^T for W = I - G A
+      Pp^1/2 = tria_sum(A U, Qs)            chol-of-Gram (covariance-side)
+      G      = P A^T Pp^-1                  ONE GJ launch (the factor
+                                            inverse; the only
+                                            ill-conditioned inverse here
+                                            stays on the factor) + 2 bmms
+      L22    = (I-GA) P (I-GA)^T + G Q G^T  JOSEPH covariance, exact:
+               = P - G Pp G^T without the subtraction — emitted as the
+               GRAM (two einsums); the scan consumes covariances directly
+
+    The gain applies Pp^-1 = Linv^T Linv with Linv from a single GJ launch:
+    two SEQUENTIAL dependent triangular-solve launches at [T, d, d]
+    dominated the whole smoother stage (each lane-batched GJ launch costs
+    the same whether its RHS is AP or I; the two bmms that replace the
+    second launch ride the MXU an order of magnitude cheaper per matrix).
+    Conditioning is unchanged — the elimination still runs on the
+    triangular factor (cond sqrt(cond Pp)), not the squared Gram.
 
     Inputs are the k -> k+1 rolled (A, Qs): entry [-1] pairs wrap-around
     junk — callers overwrite it with their boundary element. `Pp_sqrt`
     optionally supplies the predicted factors (the filters' lml pass
     already built them; see FilterResult.Pp)."""
+    from .matrix import symmetrize
+
     AU = bmm(A_next, Us)
     if Pp_sqrt is None:
         Pp_sqrt = tria_sum(AU, Qs_next)
     AP = bmm(AU, Us, tb=True)  # A P
-    Gt = _solve_tri(
-        jnp.swapaxes(Pp_sqrt, -1, -2), _solve_tri(Pp_sqrt, AP), lower=False
-    )  # Pp^-1 A P
+    eye = jnp.broadcast_to(
+        jnp.eye(Pp_sqrt.shape[-1], dtype=Pp_sqrt.dtype), Pp_sqrt.shape
+    )
+    Linv = _solve_tri(Pp_sqrt, eye)  # Pp^-1/2, one lane-batched GJ launch
+    Gt = bmm(Linv, bmm(Linv, AP), ta=True)  # Pp^-1 A P
     G = jnp.swapaxes(Gt, -1, -2)
-    Y22 = tria_sum(Us - bmm(G, AU), bmm(G, Qs_next))
+    WU = Us - bmm(G, AU)  # (I - G A) U
+    GQ = bmm(G, Qs_next)
+    L22 = symmetrize(bmm(WU, WU, tb=True) + bmm(GQ, GQ, tb=True))
     m_pred = jnp.einsum("tij,tj->ti", A_next, ms)
     g = ms - jnp.einsum("tij,tj->ti", G, m_pred)
-    return G, g, Y22
+    return G, g, L22
 
 
 @highest_precision
 def parallel_sqrt_rts_smoother(
     A, Q_sqrt, filtered: FilterResult, chunk_size: int | None = None
 ) -> SmootherResult:
-    """Parallel-scan sqrt smoother; filtered.Ps must be sqrt factors.
-    Returns Ps as SQRT factors."""
+    """Parallel-scan smoother for the sqrt pipeline; filtered.Ps must be
+    sqrt factors. Returns COVARIANCE Ps plus the factors in Ls.
+
+    The scan itself runs in covariance (Gram) form with the covariance
+    smoother's einsum-only combine, then factors ONCE at the end (one
+    T-wide lane-batched Cholesky). This is numerically equivalent to the
+    factored combine — the smoother combine is a PSD SUM (congruence
+    E L E^T plus a PSD term, no subtraction), and the factored combine's
+    per-level `tria_sum` is chol-of-Gram on exactly the same sums, so it
+    re-forms this Gram at every level anyway — but drops a batched
+    Cholesky from every combine of every scan level (measured: the factored
+    smoother stage ran 2.54x the covariance stage; ~60% of the sqrt tax).
+    The filter (the part that actually goes indefinite in covariance form —
+    its combine subtracts through the Woodbury J-terms) stays fully
+    factored; so does the smoother gain solve (vs the predicted factor)."""
+    from .parallel_kalman import (
+        _inner_scan_ex,
+        _project_smoother_moments,
+        _SmootherElems,
+        _smoothing_final,
+        _smoothing_operator,
+    )
+
     ms, Us = filtered.ms, filtered.Ps
     T, d = ms.shape
     dtype = Us.dtype
@@ -457,19 +488,19 @@ def parallel_sqrt_rts_smoother(
     Pp_sqrt = (
         jnp.roll(filtered.Pp, -1, axis=0) if filtered.Pp is not None else None
     )
-    G, g, Y22 = sqrt_smoother_elements(A_next, Qs_next, ms, Us, Pp_sqrt)
+    G, g, L22 = sqrt_smoother_elements(A_next, Qs_next, ms, Us, Pp_sqrt)
 
     E = G.at[-1].set(jnp.zeros((d, d), dtype))
     g = g.at[-1].set(ms[-1])
-    D = Y22.at[-1].set(Us[-1])
-    elems = _SqrtSmootherElems(E=E, g=g, D=D)
+    L = L22.at[-1].set(Us[-1] @ Us[-1].T)
+    elems = _SmootherElems(E=E, g=g, L=L)
 
     # flip + forward scans (reverse=True is ~27x slower on TPU; see
     # parallel_kalman.parallel_rts_smoother)
     flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
     if chunk_size is None or chunk_size >= T:
-        scanned = jax.lax.associative_scan(_sqrt_smoothing_operator, flipped)
-        gs, Ds = scanned.g, scanned.D
+        scanned = jax.lax.associative_scan(_smoothing_operator, flipped)
+        gs, Ls_cov = scanned.g, scanned.L
     else:
         assert T % chunk_size == 0
         n_chunks = T // chunk_size
@@ -478,32 +509,32 @@ def parallel_sqrt_rts_smoother(
         )
 
         def chunk_step(carry, chunk_elems):
-            from .parallel_kalman import _inner_scan_ex
-
             dd, dt = chunk_elems.E.shape[-1], chunk_elems.E.dtype
             # carry folds into the block-totals pass (init=), replacing the
             # former extra full-width combine per chunk
-            (g_c, D_c), last = _inner_scan_ex(
-                _sqrt_smoothing_operator, chunk_elems,
-                ident=_SqrtSmootherElems(
+            (g_c, L_c), last = _inner_scan_ex(
+                _smoothing_operator, chunk_elems,
+                ident=_SmootherElems(
                     E=jnp.eye(dd, dtype=dt), g=jnp.zeros((dd,), dt),
-                    D=jnp.zeros((dd, dd), dt),
+                    L=jnp.zeros((dd, dd), dt),
                 ),
-                final_op=_sqrt_smoothing_final,
-                project=_project_sqrt_smoother_moments,
+                final_op=_smoothing_final,
+                project=_project_smoother_moments,
                 init=carry,
             )
-            return last, (g_c, D_c)
+            return last, (g_c, L_c)
 
-        init = _SqrtSmootherElems(
+        init = _SmootherElems(
             E=jnp.eye(d, dtype=dtype),
             g=jnp.zeros((d,), dtype),
-            D=jnp.zeros((d, d), dtype),
+            L=jnp.zeros((d, d), dtype),
         )
-        _, (gs, Ds) = jax.lax.scan(chunk_step, init, chunked)
+        _, (gs, Ls_cov) = jax.lax.scan(chunk_step, init, chunked)
         gs = gs.reshape((T,) + gs.shape[2:])
-        Ds = Ds.reshape((T,) + Ds.shape[2:])
+        Ls_cov = Ls_cov.reshape((T,) + Ls_cov.shape[2:])
     gs = gs[::-1]
-    Ds = Ds[::-1]
+    Ls_cov = Ls_cov[::-1]
+    # one T-wide factorization for downstream PSD projections (H Ls Grams)
+    Ls_fac = _factor_psd(Ls_cov)
     # lag-one gains: E already carries [G_0..G_{T-2}, 0] after the fixup
-    return SmootherResult(ms=gs, Ps=Ds, Gs=E)
+    return SmootherResult(ms=gs, Ps=Ls_cov, Gs=E, Ls=Ls_fac)

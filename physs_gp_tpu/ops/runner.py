@@ -146,11 +146,13 @@ def run_filter_smoother(ssm, R, Y, *, parallel=False, sqrt=False,
     )
     if sqrt:
         if parallel:
+            # already covariance-form Ps + factor Ls (Gram-form scan, one
+            # final T-wide Cholesky inside the smoother)
             s = parallel_sqrt_kalman.parallel_sqrt_rts_smoother(
                 ssm.A, Q_sqrt, f_raw, chunk_size=chunk_size
             )
-        else:
-            s = sqrt_kalman.sqrt_rts_smoother(ssm.A, Q_sqrt, f_raw)
+            return _unpad(f_cov, T), _unpad(s, T)
+        s = sqrt_kalman.sqrt_rts_smoother(ssm.A, Q_sqrt, f_raw)
         return _unpad(f_cov, T), _unpad(_square_s(s), T)
     if parallel:
         s = parallel_kalman.parallel_rts_smoother(

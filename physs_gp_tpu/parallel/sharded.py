@@ -46,14 +46,13 @@ from ..ops.parallel_kalman import (
 )
 from ..ops.parallel_sqrt_kalman import (
     _SqrtFilterElems,
-    _SqrtSmootherElems,
     _build_sqrt_elements,
     _per_step_lml_sqrt,
     _solve_tri,
     _sqrt_filtering_final,
     _sqrt_filtering_operator,
-    _sqrt_smoothing_final,
-    _sqrt_smoothing_operator,
+    _factor_psd,
+    sqrt_smoother_elements,
 )
 
 __all__ = ["sharded_filter_smoother", "sharded_sqrt_filter_smoother"]
@@ -366,16 +365,15 @@ def _smoother_boundary_element(A_next0, Q_next0, m_last, P_last):
 
 
 def _sqrt_smoother_elements_interior(A_l, Qs_l, ms_l, Us_l, Pp_sqrt=None):
-    """Sqrt smoothing elements for local steps, FULL length n via jnp.roll
-    (same 16x offset-slice pathology as the covariance form — see
+    """Sqrt-pipeline smoothing elements for local steps, FULL length n via
+    jnp.roll (same 16x offset-slice pathology as the covariance form — see
     _smoother_elements_interior); element n-1 is junk the caller overwrites.
 
-    Joseph-form build (ops.parallel_sqrt_kalman.sqrt_smoother_elements):
-    the old [[A U, Qs], [U, 0]] 2d-row joint pre-array tria falls off the
-    d<=48 Pallas LQ gate onto XLA's ~20 us/matrix batched QR. `Pp_sqrt`
-    optionally supplies the lml pass's predicted factors (already rolled)."""
-    from ..ops.parallel_sqrt_kalman import sqrt_smoother_elements
-
+    Gram-form build (ops.parallel_sqrt_kalman.sqrt_smoother_elements):
+    the Joseph covariance L22 directly (the gain solve stays against the
+    predicted FACTOR), so the scan runs the covariance combine — exactly the
+    single-chip Gram-form smoother, sharded. `Pp_sqrt` optionally supplies
+    the lml pass's predicted factors (already rolled)."""
     A_next = jnp.roll(A_l, -1, axis=0)
     Qs_next = jnp.roll(Qs_l, -1, axis=0)
     return sqrt_smoother_elements(A_next, Qs_next, ms_l, Us_l, Pp_sqrt)
@@ -462,10 +460,12 @@ def sharded_sqrt_filter_smoother(
             A_l, Qs_l, H_l, Rs_l, y_l, mask_l, ms_l, m_in, U_in, Us_l
         )
 
-        # --- sqrt smoothing elements + suffix exchange ---
+        # --- Gram-form smoothing elements + suffix exchange (the scan runs
+        # the covariance combine — PSD sums only; see
+        # parallel_sqrt_kalman.parallel_sqrt_rts_smoother) ---
         # reuse the lml pass's predicted factors (shifted by one; the
         # rolled [-1] junk is overwritten by the boundary element below)
-        E_l, g_l, D_l = _sqrt_smoother_elements_interior(
+        E_l, g_l, L_l = _sqrt_smoother_elements_interior(
             A_l, Qs_l, ms_l, Us_l, Pp_sqrt=jnp.roll(Up_l, -1, axis=0)
         )
         nbr = {axis: [(i, (i - 1) % n_dev) for i in range(n_dev)]}
@@ -480,31 +480,31 @@ def sharded_sqrt_filter_smoother(
         D_last = jnp.where(is_last, Us_l[-1], D_last)
         E = E_l.at[-1].set(E_last)
         g = g_l.at[-1].set(g_last)
-        D = D_l.at[-1].set(D_last)
-        selems = _SqrtSmootherElems(E=E, g=g, D=D)
-        sident = _SqrtSmootherElems(
+        L = L_l.at[-1].set(D_last @ D_last.T)
+        selems = _SmootherElems(E=E, g=g, L=L)
+        sident = _SmootherElems(
             E=jnp.eye(d, dtype=dtype),
             g=jnp.zeros((d,), dtype),
-            D=jnp.zeros((d, d), dtype),
+            L=jnp.zeros((d, d), dtype),
         )
         sflip = jax.tree_util.tree_map(lambda x: x[::-1], selems)
         sscan = _chunked_inclusive_scan(
-            _sqrt_smoothing_operator, sflip, chunk_size, _varying(sident, vaxes)
+            _smoothing_operator, sflip, chunk_size, _varying(sident, vaxes)
         )
         slocal = jax.tree_util.tree_map(lambda x: x[::-1], sscan)
         stotal = _tree_at(slocal, 0)
         stotals = jax.lax.all_gather(stotal, axis)
         suffix = _exclusive_suffix(
-            stotals, idx, n_dev, sident, _sqrt_smoothing_operator, vaxes
+            stotals, idx, n_dev, sident, _smoothing_operator, vaxes
         )
-        sg_l, sD_l = _sqrt_smoothing_final(
+        sg_l, sL_l = _smoothing_final(
             jax.tree_util.tree_map(lambda x: x[None], suffix), slocal
         )
-        # square the factors at the boundary (outputs are covariances); the
-        # smoothed factor itself also ships out for PSD head projections
+        # filtered factors square at the boundary (outputs are covariances);
+        # the smoothed covariance factors ONCE for PSD head projections
         Ps_l = jnp.einsum("tij,tkj->tik", Us_l, Us_l)
-        sPs_l = jnp.einsum("tij,tkj->tik", sD_l, sD_l)
-        return ms_l, Ps_l, lmls_l, sg_l, sPs_l, sD_l, E
+        sLs_l = _factor_psd(sL_l)
+        return ms_l, Ps_l, lmls_l, sg_l, sL_l, sLs_l, E
 
     body = run
     if batched:

@@ -84,7 +84,10 @@ def _mem(fn, m):
 
 def main():
     rows = []
-    for n in (2048, 4096, 8192, 16384):
+    # 16384 crashes the TPU relay worker (the Cholesky arm's ~4 GB peak-temp
+    # grad graph; observed "TPU worker process crashed", 2026-08-20) — the
+    # one-chip ceiling for this comparison is 8192
+    for n in (2048, 4096, 8192):
         row = {"n": n}
         lmls = {}
         for solver in ("cholesky", "cg"):
@@ -96,9 +99,12 @@ def main():
                 return mm.log_marginal_likelihood()
 
             def grad_fn(mm):
-                return jax.value_and_grad(
+                # fold the gradient into the output — returning only the
+                # value lets XLA dead-code-eliminate the entire backward pass
+                v, gr = jax.value_and_grad(
                     lambda x: replace(mm, X=x).log_marginal_likelihood()
-                )(mm.X)[0]
+                )(mm.X)
+                return v + jnp.asarray(1e-30, v.dtype) * jnp.sum(gr)
 
             lmls[solver] = float(jax.jit(lml_fn)(m))
             row[f"lml_{solver}"] = lmls[solver]
