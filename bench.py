@@ -44,11 +44,14 @@ import numpy as np
 from physs_gp_tpu.zoo.bench_configs import build_config5, build_temporal  # noqa: F401 (re-exported for callers)
 
 T5 = 100_000
-# chunk sweep under BLOCKED inner scans (round 3, scripts/profile/profile_c5e.py):
-# 10000 -> 144.1k, 20000 -> 176.8k steps/s (assoc-scan era: 5000 -> 91.5k,
-# 10000 -> 95.2k); bigger chunks amortise the outer scan now that the inner
-# combine levels stay on the Pallas fast path
-CHUNK = 20_000
+# chunk sweep under BLOCKED inner scans. Round 3
+# (scripts/profile/profile_c5e.py): 10000 -> 144.1k, 20000 -> 176.8k
+# steps/s. Round 5 re-sweep under the current schedule
+# (scripts/profile/sweep_c5_sched.py, in-graph K-loop): 20000/256 -> 286.6k,
+# 25000/256 -> 298.1k, 50000/256 -> 288.5k, x/512 all slower — 4 chunks of
+# 25k is the measured knee (fewer outer-scan iterations + distribute passes
+# at the same Pallas-gated combine widths).
+CHUNK = 25_000
 # temporal (d=2) tuning, round-4 IN-GRAPH sweep (profile_temporal5.py):
 # blocked/1024-blocks/50k-chunk = 3.20 ms/pass vs 6.1-6.5 for assoc or
 # 100k chunks; the d=2 flat path makes every combine elementwise, and 1024
